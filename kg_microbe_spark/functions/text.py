@@ -1,0 +1,94 @@
+"""Text-analysis functions for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting. All pure JVM
+column expressions (split/regexp/aggregate) — no UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-ratio
+# language-ID heuristic. Deliberately small + deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with", "on", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "para", "con", "una", "por"],
+    "pt": ["o", "a", "os", "que", "de", "é", "para", "com", "uma", "não"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish token estimate: count regex word pieces + standalone
+    punctuation (≈ GPT-style pre-tokenizer granularity)."""
+    pieces = F.split(F.lower(text), r"(?U)(?<=\W)|(?=\W)")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(text)
+    stops = LANG_STOPWORDS[lang]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def predict_lang_col(text: Column) -> Column:
+    """Language ID = argmax over per-language stopword ratios; 'und' when no
+    profile scores > 0. Deterministic tie-break: language name ascending."""
+    pairs = []
+    toks = tokens_col(text)
+    for lang in sorted(LANG_STOPWORDS):
+        stops = LANG_STOPWORDS[lang]
+        score = F.size(F.filter(toks, lambda t, s=stops: t.isin(s)))
+        pairs.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"(?U)[\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def mean_word_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score_col(text: Column, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane punctuation + sane word length. Weights fixed and documented so the
+    score is reproducible."""
+    n_tok = token_count_col(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio_col(text, lang) >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio_col(text) <= 0.2, 1.0).otherwise(0.0)
+    wl = mean_word_len_col(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok * 0.4 + stop_ok * 0.3 + punct_ok * 0.2 + wl_ok * 0.1).cast("double")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key (portable across engines, unlike xxhash)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"(?U)\s+", " "))
+
+
+def rolling_fingerprints_col(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: md5 of each `window`-token
+    span; downstream picks minima per band for robust near-dup detection."""
+    toks = tokens_col(text)
+    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")))

@@ -1,0 +1,213 @@
+"""Dedup operators — the reference's A1/A2 plus the training-data-pipeline
+document dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine).
+
+A2 (completeness-ranked keyed dedup, pandas_utils.py:38-56) is THE merge
+primitive: rank rows by (has name, has description, non-empty field count),
+keep the best, with an explicit **total-order tiebreak** — pandas' stable
+mergesort has no distributed analog, so determinism must come from the
+ORDER BY itself (SURVEY.md §7.3 hard part 2).
+
+Scale notes:
+- all-pairs similarity is never materialized; candidate pairs come from
+  LSH band buckets (MinHash) / fingerprint buckets (SimHash), so the join
+  is an equi-join on bucket keys — shuffle size ∝ duplicates, not n².
+- hashes are computed with built-in JVM functions (md5/xxhash64), no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# A1 / A2
+# ---------------------------------------------------------------------------
+
+def drop_exact_duplicates(df: DataFrame) -> DataFrame:
+    """A1 full-row dedup."""
+    return df.dropDuplicates()
+
+
+def dedup_most_complete(
+    df: DataFrame,
+    key: str,
+    name_col: Optional[str] = "name",
+    description_col: Optional[str] = "description",
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """A2: deterministic most-populated-row-wins dedup on ``key``.
+
+    Ranking: non-empty name desc, non-empty description desc, count of
+    non-empty fields desc, then ALL remaining columns ascending as a total
+    order (deterministic winner under any partitioning).
+    """
+    cols = df.columns
+
+    def _has(c: str) -> Column:
+        return (F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))) != "").cast("int")
+
+    order: List[Column] = []
+    if name_col and name_col in cols:
+        order.append(_has(name_col).desc())
+    if description_col and description_col in cols:
+        order.append(_has(description_col).desc())
+    non_empty = None
+    for c in cols:
+        h = _has(c)
+        non_empty = h if non_empty is None else (non_empty + h)
+    order.append(non_empty.desc())
+    for c in tiebreak_cols if tiebreak_cols is not None else [c for c in cols if c != key]:
+        order.append(F.col(c).asc_nulls_last())
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Document dedup family (over a table with (id_col, text_col)).
+# ---------------------------------------------------------------------------
+
+def normalize_doc_text_col(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_text_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-text hash; deterministic winner = min id.
+    Returns (hash, n_dups, keep_id)."""
+    h = F.md5(normalize_doc_text_col(F.col(text_col)))
+    return (
+        df.withColumn("text_hash", h)
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — pure JVM (split + transform
+    + slice), no UDF."""
+    words = F.split(normalize_doc_text_col(text), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    return F.when(
+        F.size(words) < n, F.array(F.array_join(words, " "))
+    ).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for permutation p, min over shingles of
+    xxhash64(p, shingle). Deterministic, order-independent, JVM-side."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, p=p: F.xxhash64(F.lit(p), s)))
+            for p in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs.
+
+    Pipeline: shingle → signature → split into ``bands`` bands → explode →
+    self-join on (band_idx, band_hash) → distinct pairs (a < b), with the
+    estimated Jaccard = fraction of matching signature positions.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature_col(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, z: acc + z,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash_col(shingles: Column, bits: int = 32) -> Column:
+    """SimHash over shingle hashes: per bit, sign of Σ(±1); JVM-side via
+    aggregate over the shingle array."""
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            shingles,
+            F.lit(0),
+            lambda acc, s: acc + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 2) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        simhash_col(shingles_col(F.col(text_col), shingle_n), bits).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, bucket_col: Optional[str] = None) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs. Without ``bucket_col`` it
+    is all-pairs (test scale only); production path feeds LSH candidates."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else [F.lit(0).alias("bucket")]),
+    )
+    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "bucket")
+    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "bucket")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
+        )
+    )

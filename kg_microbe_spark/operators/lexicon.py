@@ -1,0 +1,103 @@
+"""Stage 2 — LEXICON: build the normalized name index from ontology tables.
+
+Implements, JVM-side (no UDFs):
+- P5  deprecated-term filter (deprecated terms never produce triples;
+      ontologies_transform.py:373-438 analogue)
+- P10 stopword exclusion (stopwords.yaml / transform.py:106-113)
+- W4  rank rule: canonical label (rank 0) beats synonym (rank 1) beats
+      fuzzy stereo/hydrate-stripped variant (rank 2 — the
+      ``fuzzy_stereochemistry`` / hydrate-free index of
+      chemical_mapping_utils.py); deterministic tiebreak on curie because
+      "first-seen" has no distributed meaning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.functions.normalize import normalize_name_col, normalize_name_py
+
+RANK_LABEL = 0
+RANK_SYNONYM = 1
+RANK_FUZZY = 2
+
+_FUZZY_CATEGORIES = ("biolink:ChemicalEntity",)
+
+
+def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
+    """lexicon(curie,label,synonyms,category,xrefs,deprecated) →
+    name_index(term_norm,curie,label,category,rank) with one winner per
+    term_norm. Small dimension: callers broadcast it."""
+    active = lexicon.filter(~F.col("deprecated"))
+
+    labels = active.select(
+        normalize_name_col(F.col("label")).alias("term_norm"),
+        "curie",
+        "label",
+        "category",
+        F.lit(RANK_LABEL).alias("rank"),
+    )
+    synonyms = (
+        active.select("curie", "label", "category", F.explode_outer("synonyms").alias("syn"))
+        .filter(F.col("syn").isNotNull())
+        .select(
+            normalize_name_col(F.col("syn")).alias("term_norm"),
+            "curie",
+            "label",
+            "category",
+            F.lit(RANK_SYNONYM).alias("rank"),
+        )
+    )
+    # Fuzzy chemical variants: stereo/hydrate-stripped norms, only when they
+    # differ from the plain norm (N4 fallback surface forms).
+    fuzzy_src = active.filter(F.col("category").isin(list(_FUZZY_CATEGORIES)))
+    fuzzy = (
+        fuzzy_src.select(
+            "curie",
+            "label",
+            "category",
+            F.explode(
+                F.concat(F.array("label"), F.coalesce("synonyms", F.array(F.lit(None).cast("string"))))
+            ).alias("surface"),
+        )
+        .filter(F.col("surface").isNotNull())
+        .select(
+            normalize_name_col(F.col("surface"), strip_stereochemistry=True, strip_hydrate=True).alias("term_norm"),
+            normalize_name_col(F.col("surface")).alias("_plain"),
+            "curie",
+            "label",
+            "category",
+            F.lit(RANK_FUZZY).alias("rank"),
+        )
+        .filter(F.col("term_norm") != F.col("_plain"))
+        .drop("_plain")
+    )
+
+    stop_norm = {normalize_name_py(s) for s in stopwords}
+    union = labels.unionByName(synonyms).unionByName(fuzzy)
+    union = union.filter((F.col("term_norm") != "") & ~F.col("term_norm").isin(sorted(stop_norm)))
+
+    w = Window.partitionBy("term_norm").orderBy(F.col("rank").asc(), F.col("curie").asc())
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def build_xref_routing(lexicon: DataFrame, secondary_prefix: str = "SECONDARY:") -> DataFrame:
+    """J9 xref-routing dimension: SECONDARY curie → canonical curie (first
+    xref), with the canonical row's label/category for node emission."""
+    sec = lexicon.filter(F.col("curie").startswith(secondary_prefix) & (F.size("xrefs") > 0)).select(
+        F.col("curie").alias("src_curie"),
+        F.col("xrefs")[0].alias("dst_curie"),
+    )
+    canon = lexicon.select(
+        F.col("curie").alias("dst_curie"),
+        F.col("label").alias("dst_label"),
+        F.col("category").alias("dst_category"),
+    )
+    return sec.join(F.broadcast(canon), "dst_curie", "left")

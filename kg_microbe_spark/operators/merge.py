@@ -1,0 +1,88 @@
+"""Stage 7 — MERGE: n-way union + dedup, the scalable replacement for KGX's
+hold-everything-in-memory merge (merge_kg.py:93-124; J6/A2 in SURVEY.md).
+
+- union: ``unionByName(allowMissingColumns=True)`` handles per-source
+  extension columns (PREGO's 7 extras, BacDive's value/unit — §1.1).
+- nodes: repartitionByRange on the canonical id, then A2 completeness-
+  ranked first-wins dedup. Range partitioning keeps the dedup shuffle
+  balanced even when one ontology family dominates (the reference's
+  NCBITaxon skew), and AQE skew-join splitting covers residual hot keys.
+- edges: groupBy (subject, predicate, object) with first-wins provenance
+  (deterministic MIN) + occurrence-count aggregation — hub-entity skew on
+  `subject` is absorbed by partial (map-side) aggregation: each task emits
+  one partial row per key before the shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.operators.dedup import dedup_most_complete
+from kg_microbe_spark.schemas import EDGE_COLUMNS, NODE_COLUMNS
+
+
+def union_by_name(frames: Sequence[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def merge_nodes(frames: Sequence[DataFrame], num_partitions: int | None = None) -> DataFrame:
+    """J6 node merge: union → range-partition by id → A2 dedup."""
+    u = union_by_name(list(frames))
+    if num_partitions:
+        u = u.repartitionByRange(num_partitions, "id")
+    else:
+        u = u.repartitionByRange("id")
+    return dedup_most_complete(u, key="id", name_col="name", description_col="description")
+
+
+def merge_edges(frames: Sequence[DataFrame]) -> DataFrame:
+    """J6 edge merge: union → groupBy triple key, first-wins provenance.
+
+    first-wins = deterministic MIN over each provenance column (the
+    distributed analog of the reference's stable keep='first'); extension
+    column ``n_cooccur`` is summed when present.
+    """
+    u = union_by_name(list(frames))
+    agg = [
+        F.min("relation").alias("relation"),
+        F.min("primary_knowledge_source").alias("primary_knowledge_source"),
+        F.min("knowledge_level").alias("knowledge_level"),
+        F.min("agent_type").alias("agent_type"),
+        F.count("*").alias("n_sources"),
+    ]
+    if "n_cooccur" in u.columns:
+        agg.append(F.sum("n_cooccur").alias("n_cooccur"))
+    return u.groupBy("subject", "predicate", "object").agg(*agg)
+
+
+def to_kgx_nodes(entities: DataFrame, provided_by_col: str = "primary_knowledge_source") -> DataFrame:
+    """entity rows (curie, label, category, …) → canonical KGX node frame."""
+    cols = {
+        "id": F.col("curie"),
+        "category": F.col("category"),
+        "name": F.col("label"),
+        "description": F.lit(""),
+        "xref": F.lit(""),
+        "provided_by": F.col(provided_by_col) if provided_by_col in entities.columns else F.lit(""),
+        "synonym": F.lit(""),
+        "deprecated": F.lit(""),
+        "same_as": F.lit(""),
+    }
+    return entities.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def to_kgx_edges(edges: DataFrame) -> DataFrame:
+    """scored pair rows → canonical KGX edge frame (+ engine extension cols)."""
+    base = [F.col(c).cast("string").alias(c) for c in EDGE_COLUMNS]
+    extras = [
+        F.col("score").cast("double").alias("score"),
+        F.col("channel").alias("channel"),
+        F.col("subject_mentions").alias("subject_mentions"),
+        F.col("object_mentions").alias("object_mentions"),
+        F.col("url").alias("url"),
+    ]
+    return edges.select(*base, *extras)

@@ -1,0 +1,144 @@
+"""Similarity search over embeddings + set-overlap aggregation (A4).
+
+- brute-force cosine top-k: the exactness baseline. Dot products are pure
+  JVM array expressions (zip_with + aggregate) — no Python, no UDF.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic seeded
+  planes via xxhash64-free arithmetic) bucket the vectors; candidates come
+  from equal-signature buckets (+ optional multi-probe), so the join is an
+  equi-join on the signature — shuffle ∝ bucket sizes, not n².
+- A4 pairwise Jaccard of collected sets (pandas_utils.py:211-237) —
+  exploded self-join + groupBy, with the |∩|/|∪| identity
+  |∪| = |A|+|B|−|∩| so only the intersection is aggregated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    (huge) corpus, rank per query. Corpus side never shuffles the vectors —
+    only (query_id, doc_id, score) rows reach the top-k window, and the
+    per-query partial top-k is computed map-side by the window's underlying
+    sort."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("dv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "doc_id",
+        cosine_col(F.transform(F.col("qv"), lambda x: x.cast("double")), F.col("dv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure function of seed;
+    no RNG state → same planes on every executor/run)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # hash-ish uniform in [-1, 1): fractional part of sin-free LCG
+            x = (1103515245 * (p * 7919 + d * 104729 + seed) + 12345) % (2 ** 31)
+            row.append((x / float(2 ** 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sig bit p = sign(v · plane_p); returned as a
+    single long. JVM-side: per plane, dot product via zip_with against an
+    array literal."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(v, lit) >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return embeddings.select(F.col(id_col).alias("doc_id"), v.alias("dv"), sig.alias("lsh_sig"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 10,
+) -> DataFrame:
+    """ANN top-k: candidates share the full LSH signature (bucket
+    equi-join), then exact cosine re-rank within candidates."""
+    corpus = lsh_signatures(embeddings, dim, id_col, vec_col, n_planes)
+    qsig = lsh_signatures(queries, dim, id_col, vec_col, n_planes).select(
+        F.col("doc_id").alias("query_id"), F.col("dv").alias("qv"), "lsh_sig"
+    )
+    cand = F.broadcast(qsig).join(corpus, "lsh_sig")
+    scored = cand.select("query_id", "doc_id", cosine_col(F.col("qv"), F.col("dv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pairwise_jaccard(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """A4: overlap of item-sets between every pair of keys that share ≥1
+    item (pairs with empty intersections are omitted — they'd be n² rows)."""
+    sets = df.groupBy(key_col).agg(F.collect_set(item_col).alias("items"), F.count_distinct(item_col).alias("n"))
+    items = df.select(F.col(key_col).alias("k"), F.col(item_col).alias("item")).distinct()
+    a = items.select(F.col("k").alias("key_a"), "item")
+    b = items.select(F.col("k").alias("key_b"), "item")
+    inter = (
+        a.join(b, "item")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sets.select(F.col(key_col).alias("key_a"), F.col("n").alias("n_a"))
+    sb = sets.select(F.col(key_col).alias("key_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""End-to-end KG-construction plan (SURVEY.md §7.1): pages → triples.
+
+One lazily-planned DataFrame DAG per stage; optional per-stage checkpoints
+via CheckpointManager make any failed stage resume idempotently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.operators.calibration import apply_threshold, build_cutoffs
+from kg_microbe_spark.operators.extract import dedup_pages_by_url, extract_pages, split_by_lang
+from kg_microbe_spark.operators.lexicon import build_name_index, build_xref_routing
+from kg_microbe_spark.operators.linking import canonicalize_entities, link_mentions
+from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions
+from kg_microbe_spark.operators.merge import merge_edges, merge_nodes, to_kgx_edges, to_kgx_nodes
+from kg_microbe_spark.operators.triples import (
+    assign_predicates,
+    generate_pairs,
+    score_and_provenance,
+    split_pairs,
+)
+from kg_microbe_spark.plans.checkpoint import CheckpointManager
+from kg_microbe_spark.sources import synthetic
+
+
+@dataclass
+class PipelineResult:
+    entities: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    triples: DataFrame
+    drop_report: DataFrame
+    skipped_pages: DataFrame
+    calibration: Optional[DataFrame] = None
+
+
+def _predicate_dims(spark: SparkSession) -> Tuple[DataFrame, DataFrame]:
+    curated = spark.createDataFrame(
+        [(s, o, p, r) for (s, o), (p, r) in sorted(synthetic.curated_pair_predicates().items())],
+        "subject string, object string, predicate string, relation string",
+    )
+    defaults = spark.createDataFrame(
+        [(sc, oc, p, r) for (sc, oc), (p, r) in sorted(synthetic.CATEGORY_DEFAULT_PREDICATES.items())],
+        "subject_category string, object_category string, predicate string, relation string",
+    )
+    return curated, defaults
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    lexicon: DataFrame,
+    stopwords: Sequence[str] = tuple(synthetic.STOPWORDS),
+    tau: float = 0.0,
+    checkpoint: Optional[CheckpointManager] = None,
+    validate_extraction: bool = False,
+) -> PipelineResult:
+    """Stages 1-8. With a CheckpointManager each stage publishes to parquet
+    and resumes idempotently; without one it is a single lazy DAG."""
+
+    def stage(name: str, fn):
+        if checkpoint is not None:
+            return checkpoint.run_stage(name, fn)
+        return fn()
+
+    # Stage 1 — EXTRACT (+ url dedup + language routing)
+    extracted = stage(
+        "s1_extract",
+        lambda: extract_pages(dedup_pages_by_url(pages), validate=validate_extraction),
+    )
+    en_pages, skipped = split_by_lang(extracted)
+
+    # Stage 2 — LEXICON (broadcast dimension; no checkpoint needed, tiny)
+    name_index = build_name_index(lexicon, stopwords)
+    xref_routing = build_xref_routing(lexicon)
+
+    # Stage 3 — MENTIONS (trie scan)
+    mentions = stage("s3_mentions", lambda: scan_mentions(en_pages, name_index))
+    agg = aggregate_mentions(mentions)
+
+    # Stage 4-5 — LINK + CANON
+    entities = stage(
+        "s5_entities",
+        lambda: canonicalize_entities(link_mentions(agg, name_index), xref_routing),
+    )
+
+    # Stage 6 — TRIPLES
+    curated, defaults = _predicate_dims(spark)
+    pairs = generate_pairs(entities)
+    kept, drop_report = split_pairs(pairs)
+    scored = score_and_provenance(assign_predicates(kept, curated, defaults))
+
+    # P7/A6 — calibration threshold
+    calibration = None
+    if tau > 0.0:
+        calibration = build_cutoffs(scored, tau)
+        scored = apply_threshold(scored, calibration, tau)
+    else:
+        scored = apply_threshold(scored, None, 0.0)
+
+    kgx_edges = stage(
+        "s6_edges",
+        lambda: to_kgx_edges(scored).withColumn("n_cooccur", F.lit(1)),
+    )
+
+    entity_nodes = to_kgx_nodes(
+        entities.withColumn(
+            "primary_knowledge_source",
+            F.concat(F.lit("infores:"), F.regexp_extract("url", r"https://(site\d+)\.", 1)),
+        )
+    )
+
+    # Stage 7 — MERGE
+    edges = stage("s7_edges_merged", lambda: merge_edges([kgx_edges]))
+    nodes = stage("s7_nodes_merged", lambda: merge_nodes([entity_nodes]))
+    triples = edges.select("subject", "predicate", "object")
+
+    return PipelineResult(
+        entities=entities,
+        nodes=nodes,
+        edges=edges,
+        triples=triples,
+        drop_report=drop_report,
+        skipped_pages=skipped,
+        calibration=calibration,
+    )

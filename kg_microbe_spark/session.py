@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests / bench / driver all get
+the same plan behavior. Tuned for the patterns this engine relies on
+(reference analogue: kg-microbe's hand-rolled idioms, SURVEY.md §4):
+
+- AQE on, including skew-join splitting — the north rule names hub
+  entities / skewed predicates explicitly; at 100 TB the mention→lexicon
+  and triple-dedup shuffles are the skew surfaces.
+- Arrow on — every Python boundary in this engine is an Arrow-batched
+  pandas UDF (no per-row Python anywhere, per BASELINE.json.input_hint).
+- shuffle partitions default sized for local[32]; a real cluster would set
+  this (or rely on AQE coalescing, which is enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kg_microbe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,200 @@
+"""Unit tests for the operator library (SURVEY.md §2 coverage)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.operators import closure, dedup, similarity, term_linking
+from kg_microbe_spark.operators.lexicon import build_name_index
+from kg_microbe_spark.sources import synthetic
+
+
+# ---------------------------------------------------------------------------
+# A2 — completeness-ranked dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_most_complete(spark):
+    rows = [
+        ("X:1", "", "", "a"),          # least complete
+        ("X:1", "name", "desc", "b"),  # most complete → wins
+        ("X:1", "name", "", "c"),
+        ("X:2", "", "", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, description string, extra string")
+    out = {r.id: r for r in dedup.dedup_most_complete(df, "id").collect()}
+    assert out["X:1"].extra == "b"
+    assert out["X:2"].extra == "z"
+
+
+def test_dedup_deterministic_tiebreak(spark):
+    # equal completeness → total-order tiebreak (all cols asc) picks same
+    # winner under any partitioning
+    rows = [("X:1", "name", "d", "b"), ("X:1", "name", "d", "a")]
+    df = spark.createDataFrame(rows, "id string, name string, description string, extra string")
+    for parts in (1, 2, 7):
+        out = dedup.dedup_most_complete(df.repartition(parts), "id").collect()
+        assert len(out) == 1 and out[0].extra == "a"
+
+
+# ---------------------------------------------------------------------------
+# Document dedup family
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),      # near dup
+    (3, "completely different text about spark pipelines"),
+    (4, "THE  QUICK   brown fox jumps over the lazy dog"),   # ws/case dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_text_dedup(docs):
+    out = dedup.exact_text_dedup(docs, "doc_id", "text").collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups[0] == 3  # 0, 1, 4 collapse
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8).collect()
+    found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    assert (0, 1) in found and found[(0, 1)] == 1.0
+    assert (0, 4) in found and found[(0, 4)] == 1.0
+    assert (0, 2) in found and found[(0, 2)] > 0.3
+    assert all(3 not in p for p in found)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 < pairs[(0, 2)] < 1.0
+    assert pairs[(0, 3)] == 0.0
+
+
+def test_simhash_near_dup_close(docs):
+    t = {r.doc: r.simhash for r in dedup.simhash_table(docs, "doc_id", "text").collect()}
+    assert t[0] == t[1] == t[4]
+    ham_near = bin(t[0] ^ t[2]).count("1")
+    ham_far = bin(t[0] ^ t[3]).count("1")
+    assert ham_near < ham_far
+
+
+# ---------------------------------------------------------------------------
+# Similarity / ANN
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(df, q, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.cosine))
+    dv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = dv @ dv.T
+    for qid in range(3):
+        order = sorted(range(50), key=lambda j: (-round(sims[qid, j], 9), j))[:4]
+        got_ids = [d for _rk, d, _c in sorted(by_q[qid])]
+        assert got_ids == order, (qid, got_ids, order)
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    base = rng.randn(40, 8).astype("float32")
+    # plant near-neighbors: vec i+40 = vec i + tiny noise
+    near = base[:10] + 0.01 * rng.randn(10, 8).astype("float32")
+    allv = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in allv[i]]) for i in range(len(allv))], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    got = similarity.lsh_topk(df, q, dim=8, k=2, n_planes=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    # a query's planted near-dup shares all 6 hyperplane signs with very
+    # high probability; require ≥3/5 recall to keep the test robust
+    hits = sum(1 for qid in range(5) if qid + 40 in by_q.get(qid, []))
+    assert hits >= 3
+
+
+def test_pairwise_jaccard(spark):
+    rows = [("s1", "a"), ("s1", "b"), ("s1", "c"), ("s2", "b"), ("s2", "c"), ("s3", "x")]
+    df = spark.createDataFrame(rows, "k string, item string")
+    out = {(r.key_a, r.key_b): r.jaccard for r in similarity.pairwise_jaccard(df, "k", "item").collect()}
+    assert out == {("s1", "s2"): 2 / 3}
+
+
+# ---------------------------------------------------------------------------
+# J3 — transitive closure
+# ---------------------------------------------------------------------------
+
+def test_one_hop_and_closure(spark):
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("x", "q", "y")],
+        "subject string, predicate string, object string",
+    )
+    hop = {(r.subject, r.object) for r in closure.one_hop(edges, "p").collect()}
+    assert hop == {("a", "c"), ("b", "d")}
+    full = {(r.subject, r.object) for r in closure.transitive_closure(edges, "p").collect()}
+    assert full == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d"), ("a", "d")}
+    multi = {(r.subject, r.object) for r in closure.multi_hop(edges, "p", 2).collect()}
+    assert multi == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")}
+
+
+# ---------------------------------------------------------------------------
+# N1/N3/N7 — term-list linking cascade
+# ---------------------------------------------------------------------------
+
+def test_term_linking_cascade(spark):
+    lexicon = synthetic.lexicon_df(spark)
+    idx = build_name_index(lexicon, synthetic.STOPWORDS)
+    cells = spark.createDataFrame(
+        [("glucose, soil, qqqzz unknown thing",), ("glucose, curated special",)],
+        "terms string",
+    )
+    terms = term_linking.extract_distinct_terms(cells, "terms")
+    curated = spark.createDataFrame(
+        [("curated special", "CUR:1", "Curated Special", "biolink:ChemicalEntity")],
+        "term_norm string, curie string, label string, category string",
+    )
+    resolved, unmatched = term_linking.link_terms(terms, idx, curated)
+    by_term = {r.term: r for r in resolved.collect()}
+    assert by_term["glucose"].match_type == "exact"
+    assert by_term["soil"].match_type == "exact"
+    assert by_term["curated special"].match_type == "curated"
+    assert by_term["curated special"].curie == "CUR:1"
+    u = by_term["qqqzz unknown thing"]
+    assert u.match_type in ("partial", "minted")
+    assert unmatched.count() == (1 if u.match_type == "minted" else 0)
+
+
+def test_term_linking_partial_overlap_winner(spark):
+    # index with two candidates sharing a token; W2 argmax char-overlap wins
+    idx = spark.createDataFrame(
+        [
+            ("alpha ketoglutarate", "C:1", "alpha ketoglutarate", "biolink:ChemicalEntity"),
+            ("ketoglutarate salt", "C:2", "ketoglutarate salt", "biolink:ChemicalEntity"),
+        ],
+        "term_norm string, curie string, label string, category string",
+    )
+    terms = spark.createDataFrame([("alpha ketoglutarate acid", "alpha ketoglutarate acid")], "term string, term_norm string")
+    resolved, _ = term_linking.link_terms(terms, idx)
+    r = resolved.collect()[0]
+    assert r.match_type == "partial"
+    assert r.curie == "C:1"
