@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Default run: (1) end-to-end KG triple-extraction throughput (pages/sec) on
+a deterministic synthetic corpus, (2) headline queries from
+__spark_entry__ at $SPARK_GRAFT_SF_DIR. Prints ONE JSON line.
+
+`--scaling` additionally runs the same pipeline at local[8] and local[32]
+on the SAME input and reports throughput at both plus scaling efficiency
+(the sandbox evidence for the north rule's N → 4N executor criterion),
+writing BENCH/BASELINE.md.
+
+Usage: python bench.py [--scaling] [--pages N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "kg_triples",
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "broadcast_brand_counts",
+    "dedup_most_complete",
+    "histogram_cutoff",
+    "minhash_signature",
+    "ngram_jaccard_docs",
+    "ann_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "two_hop_composition",
+]
+
+
+def make_spark(cores: int, shuffle_partitions: int | None = None):
+    from kg_microbe_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle_partitions or max(cores, 16),
+    )
+
+
+def materialize_pages(spark, n_pages: int, path: str, partitions: int):
+    from kg_microbe_spark.sources.synthetic import pages_df
+
+    pages_df(spark, n_pages, num_partitions=partitions).write.mode("overwrite").parquet(path)
+
+
+def run_pipeline_once(spark, pages_path: str) -> tuple[float, int]:
+    """Returns (wall_sec, n_triples). Input already on disk → measures the
+    pipeline, not the generator."""
+    from kg_microbe_spark.plans.pipeline import run_pipeline
+    from kg_microbe_spark.sources.synthetic import lexicon_df
+
+    pages = spark.read.parquet(pages_path)
+    lexicon = lexicon_df(spark)
+    t0 = time.time()
+    res = run_pipeline(spark, pages, lexicon)
+    n = res.triples.count()
+    # force nodes too (both outputs are part of "end-to-end")
+    res.nodes.count()
+    return time.time() - t0, n
+
+
+def bench_queries(spark) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def scaling_run(pages_path: str, n_pages: int) -> dict:
+    results = {}
+    for cores in (8, 32):
+        spark = make_spark(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm: JVM + parquet footer caches out of the measurement
+        wall, n_triples = run_pipeline_once(spark, pages_path)
+        results[cores] = dict(
+            wall_sec=round(wall, 2),
+            pages_per_sec=round(n_pages / wall, 1),
+            n_triples=n_triples,
+        )
+        spark.stop()
+    eff = (results[32]["pages_per_sec"] / results[8]["pages_per_sec"]) / 4.0
+    results["scaling_efficiency_8_to_32"] = round(eff, 3)
+    return results
+
+
+def write_baseline_md(n_pages: int, single: dict, scaling: dict | None, queries: dict):
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured engine numbers",
+        "",
+        f"Corpus: {n_pages} synthetic pages (deterministic, FIXTURES.md §1); ",
+        f"queries at {SF_DIR}.",
+        "",
+        "## End-to-end triple extraction (pages → merged triples)",
+        "",
+        "| config | wall (s) | pages/sec | triples |",
+        "|---|---|---|---|",
+        f"| local[{CPUS}] | {single['wall_sec']} | {single['pages_per_sec']} | {single['n_triples']} |",
+    ]
+    if scaling:
+        for cores in (8, 32):
+            r = scaling[cores]
+            lines.append(f"| local[{cores}] | {r['wall_sec']} | {r['pages_per_sec']} | {r['n_triples']} |")
+        lines += [
+            "",
+            f"**Scaling efficiency (local[8] → local[32], same input): "
+            f"{scaling['scaling_efficiency_8_to_32']}** "
+            "(= (T32_throughput / T8_throughput) / 4; north-rule target ≥ 0.8 "
+            "for N → 4N executors, evidenced here at two parallelism levels "
+            "on identical input since no real cluster exists in the sandbox).",
+        ]
+    lines += ["", "## Headline query times (sec)", "", "| query | sec |", "|---|---|"]
+    for k, v in queries.items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000")))
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="kgms_bench_")
+    pages_path = os.path.join(tmp, "pages")
+    try:
+        spark = make_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        materialize_pages(spark, args.pages, pages_path, partitions=CPUS * 4)
+        wall, n_triples = run_pipeline_once(spark, pages_path)
+        single = dict(
+            wall_sec=round(wall, 2),
+            pages_per_sec=round(args.pages / wall, 1),
+            n_triples=n_triples,
+        )
+        queries = bench_queries(spark)
+        spark.stop()
+
+        scaling = None
+        if args.scaling:
+            scaling = scaling_run(pages_path, args.pages)
+
+        write_baseline_md(args.pages, single, scaling, queries)
+        result = {
+            "metric": "pages_per_sec_e2e_triple_extraction",
+            "value": single["pages_per_sec"],
+            "unit": "pages/sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "pages": args.pages,
+            "n_triples": single["n_triples"],
+            "pipeline_wall_sec": single["wall_sec"],
+        }
+        if scaling:
+            result["scaling"] = {
+                "local8_pages_per_sec": scaling[8]["pages_per_sec"],
+                "local32_pages_per_sec": scaling[32]["pages_per_sec"],
+                "efficiency_8_to_32": scaling["scaling_efficiency_8_to_32"],
+            }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

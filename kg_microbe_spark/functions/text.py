@@ -28,11 +28,14 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"  # RE2-safe: portable to DuckDB oracles
+
+
 def bpe_ish_token_count_col(text: Column) -> Column:
-    """BPE-ish token estimate: count regex word pieces + standalone
-    punctuation (≈ GPT-style pre-tokenizer granularity)."""
-    pieces = F.split(F.lower(text), r"(?U)(?<=\W)|(?=\W)")
-    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    """BPE-ish token estimate: alnum runs + standalone punctuation marks
+    (≈ GPT-style pre-tokenizer granularity). No lookarounds → same regex
+    runs on Java regex and RE2."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0))
 
 
 def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
@@ -42,17 +45,23 @@ def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
     return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def predict_lang_col(text: Column) -> Column:
-    """Language ID = argmax over per-language stopword ratios; 'und' when no
-    profile scores > 0. Deterministic tie-break: language name ascending."""
-    pairs = []
+def lang_score_col(text: Column, lang: str) -> Column:
     toks = tokens_col(text)
-    for lang in sorted(LANG_STOPWORDS):
-        stops = LANG_STOPWORDS[lang]
-        score = F.size(F.filter(toks, lambda t, s=stops: t.isin(s)))
-        pairs.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*pairs))
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    stops = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(stops)))
+
+
+def predict_lang_col(text: Column) -> Column:
+    """Language ID = argmax over per-language stopword hit counts; 'und'
+    when no profile scores > 0. Deterministic tie-break: language name
+    ascending (greatest + ordered when-chain — the same shape an ANSI-SQL
+    oracle uses, so both sides break ties identically)."""
+    scores = {lang: lang_score_col(text, lang) for lang in sorted(LANG_STOPWORDS)}
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
 
 
 def punct_ratio_col(text: Column) -> Column:

@@ -63,7 +63,7 @@ def test_exact_text_dedup(docs):
 
 
 def test_minhash_lsh_finds_near_dup(docs):
-    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8).collect()
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=16).collect()
     found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
     assert (0, 1) in found and found[(0, 1)] == 1.0
     assert (0, 4) in found and found[(0, 4)] == 1.0

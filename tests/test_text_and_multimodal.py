@@ -1,0 +1,101 @@
+"""Text-analysis functions + multimodal plumbing + calibration unit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.functions import text as T
+from kg_microbe_spark.operators import multimodal
+from kg_microbe_spark.operators.calibration import BIN_WIDTH, apply_threshold, build_cutoffs
+
+
+def test_token_counts_and_lang(spark):
+    rows = [
+        (0, "the quick brown fox is on the hill, and that is fine"),
+        (1, "der hund ist nicht mit der katze und das ist gut"),
+        (2, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.token_count_col(F.col("text")).alias("n"),
+            T.bpe_ish_token_count_col(F.col("text")).alias("nb"),
+            T.predict_lang_col(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    assert out[0].n == 12 and out[0].lang == "en"
+    assert out[1].lang == "de"
+    assert out[2].lang == "und"
+    assert out[0].nb == 13  # comma counts as its own BPE-ish piece
+
+
+def test_quality_and_fingerprint(spark):
+    good = "the quick brown fox is on the hill and that is fine " * 3
+    bad = "!!! ??? ### $$$"
+    df = spark.createDataFrame([(0, good), (1, bad), (2, good.upper())], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.round(T.quality_score_col(F.col("text")), 2).alias("q"),
+            T.fingerprint_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[0].q == 1.0
+    assert rows[1].q < 0.5
+    assert rows[0].fp == rows[2].fp  # case/ws-insensitive fingerprint
+    fps = df.select(F.explode(T.rolling_fingerprints_col(F.col("text"), 4)).alias("f"))
+    assert fps.count() > 10
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media_df(spark, 32)
+    out = multimodal.extract_media_features(media)
+    rows = out.collect()
+    assert len(rows) == 32
+    ok = [r for r in rows if r.decode_status == "ok"]
+    assert len(ok) == 32
+    for r in ok:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+        assert r.n_bytes > 0
+
+
+def test_multimodal_error_capture(spark):
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=None, mime=None, width=None, height=None, duration_sec=None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_media_features(media).collect()[0]
+    assert r.decode_status.startswith("decode_unavailable")
+    assert r.feature is None
+
+
+def test_calibration_histogram_exact(spark):
+    # 100 edges scores 0.01..1.00 in one resource, continuous channel
+    rows = [(f"e{i}", "environmental_samples", "infores:siteX", (i + 1) / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, channel string, primary_knowledge_source string, score double")
+    tau = 2.0  # target CDF 0.5 → cutoff at smallest bin with cum ≥ 50 → score 0.50
+    cut = build_cutoffs(df, tau)
+    row = cut.collect()[0]
+    assert row.n == 100
+    assert row.cutoff_bin == int(0.50 / BIN_WIDTH)
+    kept = apply_threshold(df, cut, tau)
+    assert kept.count() == 51  # scores 0.50..1.00 inclusive (ties kept as a block)
+
+
+def test_calibration_flat_channels_and_fail_open(spark):
+    rows = [
+        ("g", "genomes_isolates", "infores:g", 4.0),
+        ("l", "literature", "infores:l", 3.0),
+        ("u", "mystery_channel", "infores:u", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id string, channel string, primary_knowledge_source string, score double")
+    cut = build_cutoffs(df, 3.5)
+    kept = {r.id for r in apply_threshold(df, cut, 3.5).collect()}
+    # genomes tier 4.0 ≥ 3.5 kept; literature 3.0 < 3.5 dropped;
+    # unrecognized channel FAILS OPEN (B7)
+    assert kept == {"g", "u"}
