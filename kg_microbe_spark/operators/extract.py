@@ -23,19 +23,24 @@ EXTRACT_VERSION = "1"  # bump when extraction semantics change
 
 
 def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
-    """Keep the latest capture per url (max warc_ts; total-order tiebreak on
-    text length then text so the winner is deterministic across partitionings
-    — pandas' stable mergesort has no distributed analog, SURVEY.md §7.3)."""
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(),
-        F.length(F.coalesce(F.col("text"), F.lit(""))).desc(),
-        F.coalesce(F.col("text"), F.lit("")).asc(),
+    """Keep the latest capture per url: max_by over the total order
+    (warc_ts, text length, text).
+
+    Implemented as groupBy + max_by rather than a row_number window: the
+    aggregate gets map-side partial combining, so the shuffle carries one
+    candidate row per (url, map task) instead of every capture's full html
+    bytes — the difference between shuffling the corpus and shuffling the
+    duplicates at 10^12 pages. The ordering struct is a total order, so the
+    winner is deterministic under any partitioning (pandas' stable
+    mergesort has no distributed analog, SURVEY.md §7.3)."""
+    cols = pages.columns
+    ordering = F.struct(
+        F.col("warc_ts"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))),
+        F.coalesce(F.col("text"), F.lit("")),
     )
-    return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    winner = F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("w")
+    return pages.groupBy("url").agg(winner).select(*[F.col(f"w.{c}").alias(c) for c in cols if c != "url"], "url").select(*cols)
 
 
 def extract_pages(pages: DataFrame, validate: bool = False) -> DataFrame:
