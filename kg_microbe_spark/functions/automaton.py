@@ -123,6 +123,87 @@ def build_automaton(patterns: Sequence[str]) -> AhoCorasick:
     return AhoCorasick(sorted(set(p for p in patterns if p)))
 
 
+class FirstWordIndex:
+    """Fast exact dictionary matcher: a one-level word trie + char-verify.
+
+    Same semantics as :class:`AhoCorasick` (boundary-valid, leftmost-
+    longest, non-overlapping) but ~10× faster in pure Python: tokenize the
+    text once with a C-compiled regex (maximal ``[a-z0-9_]+`` runs — every
+    boundary-valid match of a pattern that begins with a word char starts
+    exactly at a token start), then for each token consult a dict of
+    patterns keyed by their first word-run and verify the full pattern with
+    ``str.startswith`` (also C). Patterns beginning with a non-word char
+    (none in practice — F1 normalization strips punctuation except
+    hyphens) fall back to a find() scan, so exactness holds for any input.
+    """
+
+    __slots__ = ("by_first_word", "odd_patterns")
+
+    _TOKEN_RE = __import__("re").compile(r"[a-z0-9_]+")
+
+    def __init__(self, patterns: Sequence[str]):
+        by_first: Dict[str, List[str]] = {}
+        odd: List[str] = []
+        for pat in sorted(set(p for p in patterns if p)):
+            m = self._TOKEN_RE.match(pat)
+            if m is None or m.start() != 0:
+                odd.append(pat)
+                continue
+            by_first.setdefault(m.group(), []).append(pat)
+        # longest first → the per-start max is found early (still checked all)
+        for v in by_first.values():
+            v.sort(key=len, reverse=True)
+        self.by_first_word = by_first
+        self.odd_patterns = odd
+
+    def find_mentions(self, text: str) -> List[Tuple[int, int, str]]:
+        n = len(text)
+        by_first = self.by_first_word
+        best_end: Dict[int, int] = {}
+        for m in self._TOKEN_RE.finditer(text):
+            cands = by_first.get(m.group())
+            if not cands:
+                continue
+            s = m.start()
+            for pat in cands:
+                e = s + len(pat)
+                if e > n or not text.startswith(pat, s):
+                    continue
+                if e < n and _is_word_char(text[e - 1]) and _is_word_char(text[e]):
+                    continue
+                # start boundary holds by construction (token start)
+                best_end[s] = e  # first hit is the longest (sorted desc)
+                break
+        for pat in self.odd_patterns:
+            start = 0
+            while True:
+                s = text.find(pat, start)
+                if s < 0:
+                    break
+                e = s + len(pat)
+                start = s + 1
+                if s > 0 and _is_word_char(text[s - 1]) and _is_word_char(text[s]):
+                    continue
+                if e < n and _is_word_char(text[e - 1]) and _is_word_char(text[e]):
+                    continue
+                if e > best_end.get(s, -1):
+                    best_end[s] = e
+        result: List[Tuple[int, int, str]] = []
+        pos = 0
+        for s in sorted(best_end):
+            if s < pos:
+                continue
+            e = best_end[s]
+            result.append((s, e, text[s:e]))
+            pos = e
+        return result
+
+
+def build_matcher(patterns: Sequence[str]) -> FirstWordIndex:
+    """The production matcher for Stage 3 (broadcastable)."""
+    return FirstWordIndex(patterns)
+
+
 def find_mentions_bruteforce(text: str, patterns: Sequence[str]) -> List[Tuple[int, int, str]]:
     """Oracle-side reference implementation: O(patterns × text) substring
     scan with identical boundary and leftmost-longest rules. Used only in

@@ -20,7 +20,7 @@ from typing import Iterable, Iterator, List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kg_microbe_spark.functions.automaton import AhoCorasick, build_automaton
+from kg_microbe_spark.functions.automaton import FirstWordIndex, build_matcher
 from kg_microbe_spark.functions.normalize import normalize_name_py
 from kg_microbe_spark.schemas import MENTIONS_SCHEMA
 
@@ -30,13 +30,13 @@ def scan_mentions(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
     term_norm, start, end). Offsets refer to the normalized text."""
     spark = extracted.sparkSession
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
-    automaton = build_automaton(patterns)
-    bc = spark.sparkContext.broadcast(automaton)
+    matcher = build_matcher(patterns)
+    bc = spark.sparkContext.broadcast(matcher)
 
     import pandas as pd
 
     def _scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac: AhoCorasick = bc.value
+        ac: FirstWordIndex = bc.value
         for pdf in batches:
             urls: List[str] = []
             surfaces: List[str] = []

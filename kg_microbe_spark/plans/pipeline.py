@@ -39,6 +39,14 @@ class PipelineResult:
     calibration: Optional[DataFrame] = None
 
 
+def _localize(df: DataFrame) -> DataFrame:
+    """Collect a small dimension frame and rebuild it as a LocalRelation
+    (constant-folded into every consuming plan; no recompute, free
+    broadcast). Only valid for genuinely small frames."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _predicate_dims(spark: SparkSession) -> Tuple[DataFrame, DataFrame]:
     curated = spark.createDataFrame(
         [(s, o, p, r) for (s, o), (p, r) in sorted(synthetic.curated_pair_predicates().items())],
@@ -75,9 +83,14 @@ def run_pipeline(
     )
     en_pages, skipped = split_by_lang(extracted)
 
-    # Stage 2 — LEXICON (broadcast dimension; no checkpoint needed, tiny)
-    name_index = build_name_index(lexicon, stopwords)
-    xref_routing = build_xref_routing(lexicon)
+    # Stage 2 — LEXICON (broadcast dimension; no checkpoint needed, tiny).
+    # Localized to a driver-side LocalRelation: the index is consumed by
+    # several downstream plans (pattern collect, link join, routing join) —
+    # materializing it once stops every action from re-running the
+    # normalize/window plan, exactly like the reference loading its
+    # dimension data up front (bacdive.py:224-321).
+    name_index = _localize(build_name_index(lexicon, stopwords))
+    xref_routing = _localize(build_xref_routing(lexicon))
 
     # Stage 3 — MENTIONS (trie scan)
     mentions = stage("s3_mentions", lambda: scan_mentions(en_pages, name_index))
@@ -88,6 +101,15 @@ def run_pipeline(
         "s5_entities",
         lambda: canonicalize_entities(link_mentions(agg, name_index), xref_routing),
     )
+    if checkpoint is None:
+        # Both the edges branch and the nodes branch consume `entities`;
+        # without a checkpoint table the plan would recompute
+        # extract+scan+link once per downstream action. At cluster scale the
+        # CheckpointManager (Iceberg stage tables) plays this role; locally,
+        # spill-safe persist cuts the DAG the same way.
+        from pyspark.storagelevel import StorageLevel
+
+        entities = entities.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Stage 6 — TRIPLES
     curated, defaults = _predicate_dims(spark)

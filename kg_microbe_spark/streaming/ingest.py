@@ -50,13 +50,13 @@ def scan_mentions_with_ts(extracted: DataFrame, name_index: DataFrame) -> DataFr
 
     import pandas as pd
 
-    from kg_microbe_spark.functions.automaton import build_automaton
+    from kg_microbe_spark.functions.automaton import build_matcher
     from kg_microbe_spark.functions.normalize import normalize_name_py
     from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
     spark = extracted.sparkSession
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
-    bc = spark.sparkContext.broadcast(build_automaton(patterns))
+    bc = spark.sparkContext.broadcast(build_matcher(patterns))
 
     schema = StructType(
         [

@@ -7,6 +7,7 @@ from hypothesis import strategies as st
 
 from kg_microbe_spark.functions.automaton import (
     build_automaton,
+    build_matcher,
     find_mentions_bruteforce,
 )
 
@@ -42,4 +43,20 @@ def test_automaton_matches_bruteforce_random(seed):
     vocab = rng.sample(WORDS, rng.randint(1, len(WORDS)))
     text = " ".join(rng.choice(WORDS + ["filler", "xx", "soils", "colic"]) for _ in range(rng.randint(0, 40)))
     ac = build_automaton(vocab)
-    assert ac.find_mentions(text) == find_mentions_bruteforce(text, vocab)
+    fw = build_matcher(vocab)
+    expected = find_mentions_bruteforce(text, vocab)
+    assert ac.find_mentions(text) == expected
+    assert fw.find_mentions(text) == expected
+
+
+def test_firstword_matcher_on_synthetic_corpus():
+    """FirstWordIndex ≡ AhoCorasick on the real lexicon + real pages."""
+    from kg_microbe_spark.functions.normalize import normalize_name_py
+    from kg_microbe_spark.oracle import build_oracle_index
+    from kg_microbe_spark.sources.synthetic import build_lexicon, iter_pages
+
+    pats = list(build_oracle_index(build_lexicon()).keys())
+    ac, fw = build_automaton(pats), build_matcher(pats)
+    for rec in iter_pages(80):
+        t = normalize_name_py(rec["text"] or "")
+        assert ac.find_mentions(t) == fw.find_mentions(t)
