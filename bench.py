@@ -91,13 +91,20 @@ def bench_queries(spark) -> dict:
     return out
 
 
+SCALING_CORES = (2, 8)  # N and 4N. Measured on this box, aggregate CPU
+# throughput saturates near 8-16 Spark threads (host-level capping: raw
+# 32-process CPU scaling tops out at ~3.2x of 8) and mixed JVM+Python
+# stages cliff at 32 threads, so the honest linear region for the N->4N
+# comparison is 2 vs 8 cores on identical input.
+
+
 def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> dict:
     """Same job, same input, two parallelism levels. One warm-up run per
     session (on the small corpus) takes JVM/codegen/Python-worker startup
     out of the measurement; the measured run is the steady-state pipeline
     on the large corpus, where compute dominates fixed per-stage latency."""
     results = {}
-    for cores in (8, 32):
+    for cores in SCALING_CORES:
         spark = make_spark(cores)
         spark.sparkContext.setLogLevel("ERROR")
         run_pipeline_once(spark, warm_path or pages_path)  # warm-up (unmeasured)
@@ -108,8 +115,9 @@ def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> 
             n_triples=n_triples,
         )
         spark.stop()
-    eff = (results[32]["pages_per_sec"] / results[8]["pages_per_sec"]) / 4.0
-    results["scaling_efficiency_8_to_32"] = round(eff, 3)
+    lo, hi = SCALING_CORES
+    eff = (results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"]) / (hi / lo)
+    results["scaling_efficiency"] = round(eff, 3)
     return results
 
 
@@ -128,18 +136,22 @@ def write_baseline_md(n_pages: int, single: dict, scaling: dict | None, queries:
         f"| local[{CPUS}] | {single['wall_sec']} | {single['pages_per_sec']} | {single['n_triples']} |",
     ]
     if scaling:
-        for cores in (8, 32):
+        lo, hi = SCALING_CORES
+        for cores in SCALING_CORES:
             r = scaling[cores]
             lines.append(
                 f"| local[{cores}] (scaling corpus) | {r['wall_sec']} | {r['pages_per_sec']} | {r['n_triples']} |"
             )
         lines += [
             "",
-            f"**Scaling efficiency (local[8] → local[32], same input): "
-            f"{scaling['scaling_efficiency_8_to_32']}** "
-            "(= (T32_throughput / T8_throughput) / 4; north-rule target ≥ 0.8 "
-            "for N → 4N executors, evidenced here at two parallelism levels "
-            "on identical input since no real cluster exists in the sandbox).",
+            f"**Scaling efficiency (local[{lo}] → local[{hi}], same input): "
+            f"{scaling['scaling_efficiency']}** "
+            f"(= throughput ratio / {hi // lo}; north-rule target ≥ 0.8 for N → 4N "
+            "executors, evidenced at two parallelism levels on identical input since "
+            "no real cluster exists in the sandbox). Cores 2 and 8 are used because "
+            "measured host capacity saturates near 8-16 threads (raw 32-process CPU "
+            "scaling tops out at ~3.2x of 8 processes), so 8→32 measures the host "
+            "ceiling, not the engine.",
         ]
     lines += ["", "## Headline query times (sec)", "", "| query | sec |", "|---|---|"]
     for k, v in queries.items():
@@ -156,7 +168,7 @@ def main():
     ap.add_argument(
         "--scaling-pages",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000")),
+        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000")),
         help="corpus for the local[8]-vs-local[32] runs (larger so compute dominates fixed overheads)",
     )
     args = ap.parse_args()
@@ -196,10 +208,12 @@ def main():
             "pipeline_wall_sec": single["wall_sec"],
         }
         if scaling:
+            lo, hi = SCALING_CORES
             result["scaling"] = {
-                "local8_pages_per_sec": scaling[8]["pages_per_sec"],
-                "local32_pages_per_sec": scaling[32]["pages_per_sec"],
-                "efficiency_8_to_32": scaling["scaling_efficiency_8_to_32"],
+                f"local{lo}_pages_per_sec": scaling[lo]["pages_per_sec"],
+                f"local{hi}_pages_per_sec": scaling[hi]["pages_per_sec"],
+                "cores": [lo, hi],
+                "efficiency": scaling["scaling_efficiency"],
             }
         print(json.dumps(result))
     finally:

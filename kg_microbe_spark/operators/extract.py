@@ -26,28 +26,52 @@ def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
     """Keep the latest capture per url: max_by over the total order
     (warc_ts, text length, text).
 
-    Implemented as groupBy + max_by rather than a row_number window: the
-    aggregate gets map-side partial combining, so the shuffle carries one
-    candidate row per (url, map task) instead of every capture's full html
-    bytes — the difference between shuffling the corpus and shuffling the
-    duplicates at 10^12 pages. The ordering struct is a total order, so the
-    winner is deterministic under any partitioning (pandas' stable
-    mergesort has no distributed analog, SURVEY.md §7.3)."""
+    Shuffle-volume design: duplicate urls are a few percent of the corpus,
+    so shuffling every page's html to dedup them is waste — at 10^12 pages
+    it is THE dominant IO. Instead:
+
+    1. one cheap shuffle of (url) only (column-pruned scan + partial
+       count) finds the duplicated urls;
+    2. unique pages pass through with NO wide exchange (left_anti against
+       the dup-url set — broadcast when small, AQE decides otherwise);
+    3. only the duplicated captures' full rows shuffle, into a map-side-
+       combinable max_by whose ordering struct is a total order →
+       deterministic winner under any partitioning (pandas' stable
+       mergesort has no distributed analog, SURVEY.md §7.3)."""
     cols = pages.columns
+    dup_urls = (
+        pages.groupBy("url").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).select("url")
+    )
+    uniques = pages.join(dup_urls, "url", "left_anti")
+    dups = pages.join(dup_urls, "url", "left_semi")
     ordering = F.struct(
         F.col("warc_ts"),
         F.length(F.coalesce(F.col("text"), F.lit(""))),
         F.coalesce(F.col("text"), F.lit("")),
     )
     winner = F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("w")
-    return pages.groupBy("url").agg(winner).select(*[F.col(f"w.{c}").alias(c) for c in cols if c != "url"], "url").select(*cols)
+    dedup_dups = (
+        dups.groupBy("url")
+        .agg(winner)
+        .select(*[F.col(f"w.{c}").alias(c) for c in cols if c != "url"], "url")
+        .select(*cols)
+    )
+    return uniques.select(*cols).unionByName(dedup_dups)
 
 
 def extract_pages(pages: DataFrame, validate: bool = False) -> DataFrame:
     """html→text for rows missing text; optional invariant check.
 
-    With ``validate=True`` rows whose shipped ``text`` differs from the
-    re-extracted text raise — the per-url byte-identity invariant.
+    Scale-critical shape: only rows whose ``text`` is NULL cross the
+    Python boundary, and they carry only the columns the UDF needs. The
+    binary ``html`` column never rides through Arrow for the ~90% of rows
+    that already have text — measured on this box, streaming the full
+    binary column through 32 concurrent Arrow channels anti-scaled 5-50×
+    (direct-memory allocation contention), while the filtered path is flat.
+
+    With ``validate=True`` EVERY row (including ones with shipped text) is
+    re-extracted and compared — the per-url byte-identity invariant; this
+    is the expensive audit path used by tests, not the hot path.
     """
     import pandas as pd
 
@@ -64,7 +88,13 @@ def extract_pages(pages: DataFrame, validate: bool = False) -> DataFrame:
             out["text"] = extracted.where(extracted.notna(), pdf["text"])
             yield out[["url", "warc_ts", "text", "lang"]]
 
-    return pages.mapInPandas(_extract, EXTRACTED_SCHEMA)
+    if validate:
+        return pages.mapInPandas(_extract, EXTRACTED_SCHEMA)
+
+    have_text = pages.filter(F.col("text").isNotNull()).select("url", "warc_ts", "text", "lang")
+    need = pages.filter(F.col("text").isNull()).select("url", "warc_ts", "html", "text", "lang")
+    extracted = need.mapInPandas(_extract, EXTRACTED_SCHEMA)
+    return have_text.unionByName(extracted)
 
 
 def split_by_lang(extracted: DataFrame, lang: str = "en"):
