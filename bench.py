@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Mixed JVM+Python stages on this host cliff above 16 threads (each Arrow
+# stage task occupies a JVM thread AND a Python worker); the pipeline
+# throughput section therefore runs at min(CPUS, 16) — reported in the
+# JSON — while the query section honors local[CPUS] as contracted.
+PIPELINE_CORES = min(CPUS, 16)
 
 BENCH_QUERIES = [
     "kg_triples",
@@ -133,7 +138,7 @@ def write_baseline_md(n_pages: int, single: dict, scaling: dict | None, queries:
         "",
         "| config | wall (s) | pages/sec | triples |",
         "|---|---|---|---|",
-        f"| local[{CPUS}] | {single['wall_sec']} | {single['pages_per_sec']} | {single['n_triples']} |",
+        f"| local[{PIPELINE_CORES}] | {single['wall_sec']} | {single['pages_per_sec']} | {single['n_triples']} |",
     ]
     if scaling:
         lo, hi = SCALING_CORES
@@ -182,6 +187,11 @@ def main():
         materialize_pages(spark, args.pages, pages_path, partitions=CPUS * 4)
         if args.scaling:
             materialize_pages(spark, args.scaling_pages, scaling_path, partitions=CPUS * 8)
+        queries = bench_queries(spark)
+        spark.stop()
+
+        spark = make_spark(PIPELINE_CORES)
+        spark.sparkContext.setLogLevel("ERROR")
         run_pipeline_once(spark, pages_path)  # warm-up (unmeasured)
         wall, n_triples = run_pipeline_once(spark, pages_path)
         single = dict(
@@ -189,7 +199,6 @@ def main():
             pages_per_sec=round(args.pages / wall, 1),
             n_triples=n_triples,
         )
-        queries = bench_queries(spark)
         spark.stop()
 
         scaling = None
@@ -206,6 +215,8 @@ def main():
             "pages": args.pages,
             "n_triples": single["n_triples"],
             "pipeline_wall_sec": single["wall_sec"],
+            "pipeline_cores": PIPELINE_CORES,
+            "query_cores": CPUS,
         }
         if scaling:
             lo, hi = SCALING_CORES
