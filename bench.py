@@ -75,8 +75,10 @@ def run_pipeline_once(spark, pages_path: str) -> tuple[float, int]:
     lexicon = lexicon_df(spark)
     t0 = time.time()
     res = run_pipeline(spark, pages, lexicon)
+    # edges first (materializes the persisted `entities` fan-out point),
+    # then nodes reuse the cache — do NOT run these concurrently: two
+    # racing jobs each recompute the not-yet-materialized cache.
     n = res.triples.count()
-    # force nodes too (both outputs are part of "end-to-end")
     res.nodes.count()
     return time.time() - t0, n
 
@@ -108,15 +110,21 @@ def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> 
     session (on the small corpus) takes JVM/codegen/Python-worker startup
     out of the measurement; the measured run is the steady-state pipeline
     on the large corpus, where compute dominates fixed per-stage latency."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     results = {}
     for cores in SCALING_CORES:
         spark = make_spark(cores)
         spark.sparkContext.setLogLevel("ERROR")
         run_pipeline_once(spark, warm_path or pages_path)  # warm-up (unmeasured)
-        wall, n_triples = run_pipeline_once(spark, pages_path)
+        walls, n_triples = [], 0
+        for _ in range(reps):
+            wall, n_triples = run_pipeline_once(spark, pages_path)
+            walls.append(wall)
+        best = min(walls)  # best-of-N isolates the engine from host noise
         results[cores] = dict(
-            wall_sec=round(wall, 2),
-            pages_per_sec=round(n_pages / wall, 1),
+            wall_sec=round(best, 2),
+            all_walls=[round(w, 1) for w in walls],
+            pages_per_sec=round(n_pages / best, 1),
             n_triples=n_triples,
         )
         spark.stop()
@@ -173,7 +181,7 @@ def main():
     ap.add_argument(
         "--scaling-pages",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000")),
+        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000")),
         help="corpus for the local[8]-vs-local[32] runs (larger so compute dominates fixed overheads)",
     )
     args = ap.parse_args()

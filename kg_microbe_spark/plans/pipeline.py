@@ -94,12 +94,17 @@ def run_pipeline(
 
     # Stage 3 — MENTIONS (trie scan)
     mentions = stage("s3_mentions", lambda: scan_mentions(en_pages, name_index))
-    agg = aggregate_mentions(mentions)
 
-    # Stage 4-5 — LINK + CANON
+    # Stage 4-5 — LINK + CANON. The lexicon join is a broadcast (map-side),
+    # so raw mentions are joined directly and ONE groupBy (url, curie) does
+    # both the A8 mention aggregation and the post-routing re-aggregation —
+    # two shuffles folded into one.
+    raw_linked = link_mentions(
+        mentions.select("url", "term_norm", F.lit(1).alias("n_mentions")), name_index
+    )
     entities = stage(
         "s5_entities",
-        lambda: canonicalize_entities(link_mentions(agg, name_index), xref_routing),
+        lambda: canonicalize_entities(raw_linked, xref_routing),
     )
     if checkpoint is None:
         # Both the edges branch and the nodes branch consume `entities`;
