@@ -812,6 +812,43 @@ SELECT query_id, doc_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_nearest_neighbor(spark, sf_dir):
+    """Embedding near-dup detection: each vector's single nearest neighbor
+    by cosine (the exact-pass primitive behind embedding-cosine dedup;
+    the LSH-bucketed scale path lives in operators/similarity.py)."""
+    from kg_microbe_spark.operators.similarity import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), dv.alias("va")).filter(F.col("vec_a") < 200)
+    b = emb.select(F.col("vec_id").alias("vec_b"), dv.alias("vb")).filter(F.col("vec_b") < 200)
+    scored = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
+        "vec_a", "vec_b", F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine")
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_a", "vec_b", F.col("cosine").alias("nn_cosine"))
+    )
+
+
+_EMB_NN_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS rn
+  FROM scored
+)
+SELECT vec_a, vec_b, cosine AS nn_cosine FROM ranked WHERE rn = 1
+"""
+
+
 def q_json_error_buckets(spark, sf_dir):
     """P2/P3 + JSON path: prefix filter + get_json_object bucket counts."""
     e = _t(spark, sf_dir, "events")
@@ -913,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_nearest_neighbor": q_embedding_nearest_neighbor,
         "json_error_buckets": q_json_error_buckets,
         "graph_stats": q_graph_stats,
         "two_hop_composition": q_two_hop_composition,
@@ -947,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "embedding_nearest_neighbor": _EMB_NN_SQL,
         "json_error_buckets": _JSON_SQL,
         "graph_stats": _GRAPH_STATS_SQL,
         "two_hop_composition": _TWO_HOP_COMP_SQL,

@@ -170,6 +170,34 @@ def sanitize_label_col(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# F5 — CURIE-suffix percent-encoding (utils/sanitize_curies.py:29-74):
+# problematic chars in the suffix only, first colon preserved.
+# ---------------------------------------------------------------------------
+
+_CURIE_UNSAFE = ' "#{}|\\^~[]`'
+
+
+def sanitize_curie_py(curie: str) -> str:
+    if not curie or ":" not in curie:
+        return curie
+    prefix, suffix = curie.split(":", 1)
+    encoded = "".join("%%%02X" % ord(c) if c in _CURIE_UNSAFE else c for c in suffix)
+    return prefix + ":" + encoded
+
+
+def sanitize_curie_col(col: Column) -> Column:
+    """Chained regexp escapes for the unsafe set — JVM-side equivalent of
+    the urllib.quote call for the characters the reference actually
+    encounters (space and the bracket/brace family)."""
+    prefix = F.substring_index(col, ":", 1)
+    suffix = F.regexp_replace(col, r"^[^:]*:", "")
+    for ch in _CURIE_UNSAFE:
+        pct = "%%%02X" % ord(ch)
+        suffix = F.replace(suffix, F.lit(ch), F.lit(pct))
+    return F.when(col.contains(":"), F.concat(prefix, F.lit(":"), suffix)).otherwise(col)
+
+
+# ---------------------------------------------------------------------------
 # F6 — CR/LF strip; F7 — safe float.
 # ---------------------------------------------------------------------------
 

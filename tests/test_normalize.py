@@ -106,6 +106,16 @@ def test_safe_float(spark):
     assert expected == [1.5, 0.0, 0.0, 0.0, 0.0, 0.0, 4.00735]
 
 
+def test_sanitize_curie_parity(spark):
+    from kg_microbe_spark.functions.normalize import sanitize_curie_col, sanitize_curie_py
+
+    vals = ["CHEBI:12 34", 'X:a"b{c}d', "noprefix", "EC:1.1.1.1", "A:x|y^z", "A:[q]`r~s"]
+    expected = [sanitize_curie_py(v) for v in vals]
+    assert expected[0] == "CHEBI:12%2034"
+    got = _spark_batch(spark, vals, sanitize_curie_col)
+    assert got == expected
+
+
 def test_parse_taxonomy():
     out = parse_taxonomy_py("d__Bacteria;p__Firmicutes;c__Bacilli;o__;s__B subtilis")
     assert out == [
