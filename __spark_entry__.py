@@ -7,7 +7,11 @@ the DuckDB-equivalent ANSI SQL for each (column names aligned).
 
 Determinism conventions used throughout (so Spark and DuckDB value-hashes
 match): money is summed as integer cents (``CAST(ROUND(x*100) AS BIGINT)``
-— double sums are order-dependent, bigint sums are not); collected sets
+— double sums are order-dependent, bigint sums are not) AND every
+BIGINT-summing aggregate (including window sums) is re-cast in the oracle
+SQL with an outer ``CAST(SUM(...) AS BIGINT)`` — DuckDB widens SUM(BIGINT)
+to HUGEINT/decimal128 while Spark stays int64, and the driver hashes
+*typed* values (root cause of the 7 round-1 hash failures); collected sets
 are sorted and pipe-joined; every computed column is aliased identically
 on both sides.
 """
@@ -50,45 +54,48 @@ def _cents(col) -> F.Column:
 KG_STOPWORDS = ("the", "a", "of", "and")  # P10 exclusion list
 
 
-def _kg_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon = corpus vocabulary (minus stopwords), CURIE = the word,
-    category assigned deterministically by word length (taxon/chem/env)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
-        (F.col("word") != "") & ~F.col("word").isin(list(KG_STOPWORDS))
-    )
-    return words.distinct().select(
-        "word",
-        F.concat(F.lit("W:"), F.col("word")).alias("curie"),
-        F.when(F.length("word") % 3 == 0, "taxon")
-        .when(F.length("word") % 3 == 1, "chem")
-        .otherwise("env")
-        .alias("category"),
-    )
-
-
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lex = F.broadcast(_kg_lexicon(spark, sf_dir))
+    """Flagship KG co-occurrence triples — scale-safe round-2 plan.
+
+    Round 1 broadcast a *corpus-derived* vocabulary (unbounded under
+    Heaps' law at 100 TB → driver/executor OOM) and recomputed the
+    mentions subplan three times (lexicon + both self-join sides). Here
+    the testdata lexicon's curie/category are pure functions of the word
+    (real bounded dictionary joins are exercised by operators/mentions.py
+    + operators/linking.py), so the whole query is TWO shuffles:
+
+      1. groupBy(doc_id) → collect_set(word): the per-doc mention set.
+      2. final groupBy(subject, predicate, object).
+
+    Co-occurrence pairs are generated IN-ROW by a double explode of the
+    mention set (a generator inside whole-stage codegen — never a self-
+    join shuffle of the mentions table, never a broadcast fed by the
+    documents scan). Per-doc pair fan-out is |mentions|² but streams
+    through the generator; web pages bound |mentions|, and a mention cap
+    per doc is the documented knob if a pathological page appears.
+    """
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    words = docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
-    mentions = (
-        words.join(lex, "word")
-        .groupBy("doc_id", "source", "curie", "category")
-        .agg(F.count("*").alias("n"))
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter((F.col("word") != "") & ~F.col("word").isin(list(KG_STOPWORDS)))
+    per_doc = words.groupBy("doc_id", "source").agg(F.collect_set("word").alias("ws"))
+    pairs = (
+        per_doc.select("doc_id", "source", F.explode("ws").alias("sw"), "ws")
+        .select("doc_id", "source", "sw", F.explode("ws").alias("ow"))
+        .filter(F.col("sw") != F.col("ow"))
     )
-    a = mentions.select("doc_id", "source", F.col("curie").alias("s_curie"), F.col("category").alias("s_cat"))
-    b = mentions.select("doc_id", F.col("curie").alias("o_curie"), F.col("category").alias("o_cat"))
-    pairs = a.join(b, "doc_id").filter(F.col("s_curie") != F.col("o_curie"))
+    s_cat = F.length("sw") % 3  # 0=taxon, 1=chem, 2=env (deterministic testdata categories)
+    o_cat = F.length("ow") % 3
     kept = pairs.withColumn(
         "predicate",
-        F.when((F.col("s_cat") == "taxon") & (F.col("o_cat") == "chem"), "biolink:interacts_with")
-        .when((F.col("s_cat") == "env") & (F.col("o_cat") == "taxon"), "biolink:occurs_in"),
+        F.when((s_cat == 0) & (o_cat == 1), "biolink:interacts_with")
+        .when((s_cat == 2) & (o_cat == 0), "biolink:occurs_in"),
     ).filter(F.col("predicate").isNotNull())
     return (
         kept.select(
-            F.col("s_curie").alias("subject"),
+            F.concat(F.lit("W:"), F.col("sw")).alias("subject"),
             "predicate",
-            F.col("o_curie").alias("object"),
+            F.concat(F.lit("W:"), F.col("ow")).alias("object"),
             "source",
         )
         .groupBy("subject", "predicate", "object")
@@ -97,40 +104,25 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KG_TRIPLES_SQL = """
-WITH vocab AS (
-  SELECT DISTINCT word FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE lang = 'en'
+WITH words AS (
+  SELECT DISTINCT doc_id, source, word FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE lang = 'en'
   ) WHERE word <> '' AND word NOT IN ('the', 'a', 'of', 'and')
 ),
-lex AS (
-  SELECT word, 'W:' || word AS curie,
-         CASE WHEN length(word) % 3 = 0 THEN 'taxon'
-              WHEN length(word) % 3 = 1 THEN 'chem' ELSE 'env' END AS category
-  FROM vocab
-),
-words AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-  FROM documents WHERE lang = 'en'
-),
-mentions AS (
-  SELECT w.doc_id, w.source, l.curie, l.category, COUNT(*) AS n
-  FROM words w JOIN lex l USING (word)
-  GROUP BY w.doc_id, w.source, l.curie, l.category
-),
 pairs AS (
-  SELECT a.doc_id, a.source, a.curie AS s_curie, a.category AS s_cat,
-         b.curie AS o_curie, b.category AS o_cat
-  FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.curie <> b.curie
+  SELECT a.doc_id, a.source, a.word AS sw, b.word AS ow
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.word <> b.word
 ),
 kept AS (
-  SELECT *, CASE WHEN s_cat = 'taxon' AND o_cat = 'chem' THEN 'biolink:interacts_with'
-                 WHEN s_cat = 'env' AND o_cat = 'taxon' THEN 'biolink:occurs_in' END AS predicate
+  SELECT *, CASE WHEN length(sw) % 3 = 0 AND length(ow) % 3 = 1 THEN 'biolink:interacts_with'
+                 WHEN length(sw) % 3 = 2 AND length(ow) % 3 = 0 THEN 'biolink:occurs_in' END AS predicate
   FROM pairs
 )
-SELECT s_curie AS subject, predicate, o_curie AS object,
+SELECT 'W:' || sw AS subject, predicate, 'W:' || ow AS object,
        COUNT(*) AS n_docs, MIN(source) AS provenance
 FROM kept WHERE predicate IS NOT NULL
-GROUP BY subject, predicate, object
+GROUP BY 1, 2, 3
 """
 
 
@@ -150,9 +142,9 @@ def q_pricing_summary(spark, sf_dir):
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -174,7 +166,7 @@ def q_shipping_priority(spark, sf_dir):
 
 _SHIPPING_SQL = """
 SELECT o_orderkey, o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderpriority
@@ -205,7 +197,7 @@ def q_region_revenue(spark, sf_dir):
 
 _REGION_REVENUE_SQL = """
 SELECT r_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_rows
 FROM region JOIN nation ON r_regionkey = n_regionkey
             JOIN customer ON n_nationkey = c_nationkey
@@ -228,7 +220,7 @@ def q_broadcast_brand_counts(spark, sf_dir):
 
 _BRAND_COUNTS_SQL = """
 SELECT p_brand, COUNT(*) AS n_lineitems,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -255,15 +247,24 @@ GROUP BY r_name
 
 
 def q_dedup_most_complete(spark, sf_dir):
-    """A2-style keyed dedup: deterministic best-row-per-key via ranked
-    window (acctbal desc, custkey asc)."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_nationkey", "c_custkey", _cents(F.col("c_acctbal")).alias("acctbal_cents"))
+    """A2 keyed dedup — executes the SHIPPED operator
+    (operators/dedup.py:dedup_most_complete), not an inlined window.
+
+    customer has no nulls (verified), so the operator's completeness rank
+    is constant and the winner is decided by the tiebreak columns: a
+    negated-cents column makes 'acctbal desc' expressible in the
+    operator's ascending total order, then custkey asc."""
+    from kg_microbe_spark.operators.dedup import dedup_most_complete
+
+    c = _t(spark, sf_dir, "customer").withColumn("neg_bal_cents", -_cents(F.col("c_acctbal")))
+    best = dedup_most_complete(
+        c,
+        key="c_nationkey",
+        name_col=None,
+        description_col=None,
+        tiebreak_cols=["neg_bal_cents", "c_custkey"],
     )
+    return best.select("c_nationkey", "c_custkey", (-F.col("neg_bal_cents")).alias("acctbal_cents"))
 
 
 _DEDUP_SQL = """
@@ -287,9 +288,9 @@ def q_cumulative_acctbal(spark, sf_dir):
 
 _CUMSUM_SQL = """
 SELECT c_nationkey, c_custkey,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
          OVER (PARTITION BY c_nationkey ORDER BY c_custkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_acctbal_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_acctbal_cents
 FROM customer
 """
 
@@ -506,39 +507,57 @@ FROM classed GROUP BY 1, 2, 3, 4
 
 
 def q_histogram_cutoff(spark, sf_dir):
-    """A6: deterministic fixed-width histogram → smallest bin with CDF ≥
-    0.75·n, per event_type (exact, order-independent — no percentile_approx)."""
+    """A6 — executes the SHIPPED calibration operator
+    (operators/calibration.py:build_cutoffs): events cast to continuous-
+    channel edges (resource = event_type, score = value), tau = 3.0 →
+    smallest bin with CDF ≥ 0.75·n at the operator's fixed 1e-4 bin width,
+    plus the realized kept_fraction."""
+    from kg_microbe_spark.operators.calibration import build_cutoffs
+    from kg_microbe_spark.operators.triples import CHANNEL_ENVIRONMENTAL
+
     e = _t(spark, sf_dir, "events")
-    width = 10.0
-    binned = e.select(
-        "event_type", F.floor(F.greatest(F.col("value"), F.lit(0.0)) / width).cast("long").alias("bin")
+    edges = e.select(
+        F.col("event_type").alias("primary_knowledge_source"),
+        F.col("value").alias("score"),
+        F.lit(CHANNEL_ENVIRONMENTAL).alias("channel"),
     )
-    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
-    w_cdf = Window.partitionBy("event_type").orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_tot = Window.partitionBy("event_type")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w_cdf)).withColumn("n", F.sum("cnt").over(w_tot))
-    return (
-        cum.filter(F.col("cum") >= 0.75 * F.col("n"))
-        .groupBy("event_type")
-        .agg(F.min("bin").alias("cutoff_bin"), F.max("n").alias("n"))
-    )
+    return build_cutoffs(edges, tau=3.0)
 
 
+# Mirrors calibration.py exactly: BIN_WIDTH=1e-4 (the 1e-4 literal stays
+# scientific notation — DuckDB parses 0.0001 as DECIMAL, whose exact value
+# divides differently from the double), BIN_COUNT-1=40099 clamp, F7 guard,
+# target = (3/4)·n, kept fraction over bins >= cutoff.
 _HISTOGRAM_SQL = """
 WITH hist AS (
-  SELECT event_type, CAST(FLOOR(GREATEST(value, 0.0) / 10.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+  SELECT event_type AS resource,
+         LEAST(CAST(FLOOR((CASE WHEN value IS NULL OR isnan(value) OR value <= 0
+                                THEN 0.0 ELSE value END) / 1e-4) AS BIGINT), 40099) AS bin,
+         COUNT(*) AS cnt
   FROM events GROUP BY 1, 2
 ),
 cum AS (
-  SELECT event_type, bin, cnt,
-         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+  SELECT resource, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY resource ORDER BY bin
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         SUM(cnt) OVER (PARTITION BY event_type) AS n
+         SUM(cnt) OVER (PARTITION BY resource) AS n
   FROM hist
+),
+cut AS (
+  SELECT resource, MIN(bin) AS cutoff_bin, CAST(MAX(n) AS BIGINT) AS n
+  FROM cum WHERE cum >= (3.0 / 4.0) * n
+  GROUP BY resource
+),
+kept AS (
+  SELECT h.resource, CAST(SUM(h.cnt) AS BIGINT) AS kept_cnt
+  FROM hist h JOIN cut c ON h.resource = c.resource
+  WHERE h.bin >= c.cutoff_bin
+  GROUP BY 1
 )
-SELECT event_type, MIN(bin) AS cutoff_bin, MAX(n) AS n
-FROM cum WHERE cum >= 0.75 * n
-GROUP BY event_type
+SELECT c.resource, c.n, c.cutoff_bin,
+       c.cutoff_bin * 1e-4 AS cutoff_score,
+       COALESCE(kept.kept_cnt / c.n, 0.0) AS kept_fraction
+FROM cut c LEFT JOIN kept ON kept.resource = c.resource
 """
 
 
@@ -666,12 +685,40 @@ FROM base a JOIN base b ON a.mh = b.mh AND a.doc_id < b.doc_id
 
 
 def q_simhash_buckets(spark, sf_dir):
-    """SimHash table (xxhash64-based; engine-specific hash → rows-only
-    check, no SQL oracle by design)."""
+    """SimHash table — portable md5-derived 60-bit shingle hash (same
+    bits in DuckDB via CAST('0x'||substr(md5,1,15) AS BIGINT)) so the
+    driver gets a REAL hash-verified oracle; the xxhash64 default stays
+    for production (cheaper per shingle)."""
     from kg_microbe_spark.operators.dedup import simhash_table
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_table(d, "doc_id", "text", bits=32, shingle_n=2)
+    return simhash_table(d, "doc_id", "text", bits=32, shingle_n=2, portable=True)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' '))
+         END AS s
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM sh
+)
+SELECT doc_id AS doc, CAST({terms} AS BIGINT) AS simhash FROM hashed
+"""
 
 
 def q_token_counts(spark, sf_dir):
@@ -879,7 +926,7 @@ def q_graph_stats(spark, sf_dir):
 
 _GRAPH_STATS_SQL = """
 SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """
 
@@ -910,6 +957,321 @@ FROM region JOIN nation ON r_regionkey = n_regionkey
             JOIN customer ON n_nationkey = c_nationkey
             JOIN orders ON c_custkey = o_custkey
 GROUP BY r_name
+"""
+
+
+# ===========================================================================
+# Graph closure + reference organism-query shapes (J3 / §3.3)
+# ===========================================================================
+
+def q_transitive_closure(spark, sf_dir):
+    """J3 — executes the SHIPPED closure operator
+    (operators/closure.py:multi_hop, reference pandas_utils.py:69-165 /
+    ontologies_transform.py:774-833) over an edges-shaped DAG built from
+    nation: a subclass chain N:k → N:k+1 plus N:k → R:region edges,
+    closed to 3 hops."""
+    from kg_microbe_spark.operators.closure import multi_hop
+
+    n = _t(spark, sf_dir, "nation")
+    chain = n.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("subject"),
+        F.lit("subclass_of").alias("predicate"),
+        F.concat(F.lit("N:"), (F.col("n_nationkey") + 1).cast("string")).alias("object"),
+    )
+    to_region = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("subject"),
+        F.lit("subclass_of").alias("predicate"),
+        F.concat(F.lit("R:"), F.col("n_regionkey").cast("string")).alias("object"),
+    )
+    return multi_hop(chain.unionByName(to_region), "subclass_of", hops=3)
+
+
+_CLOSURE_SQL = """
+WITH e AS (
+  SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS subject,
+         'N:' || CAST(n_nationkey + 1 AS VARCHAR) AS object
+  FROM nation WHERE n_nationkey < 24
+  UNION ALL
+  SELECT 'N:' || CAST(n_nationkey AS VARCHAR), 'R:' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+h2 AS (
+  SELECT DISTINCT l.subject, r.object
+  FROM e l JOIN e r ON l.object = r.subject
+  WHERE l.subject <> r.object
+),
+h3 AS (
+  SELECT DISTINCT l.subject, r.object
+  FROM h2 l JOIN e r ON l.object = r.subject
+  WHERE l.subject <> r.object
+)
+SELECT DISTINCT subject, 'subclass_of' AS predicate, object
+FROM (SELECT * FROM e UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+"""
+
+
+def _media_kg(spark, sf_dir):
+    """Synthesized KGX nodes/edges for the media-preference shape: events →
+    organism grows-in/no-growth media edges (relation carries the METPO
+    code, predicate stays Biolink — the reference's KGX encoding)."""
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.concat(F.lit("NCBITaxon:"), (F.col("user_id") % 10).cast("string")).alias("subject"),
+        F.lit("biolink:located_in").alias("predicate"),
+        F.concat(F.lit("medium:"), (F.col("event_id") % 7).cast("string")).alias("object"),
+        F.when(F.col("event_type") == "click", "METPO:2000517")
+        .when(F.col("event_type") == "view", "METPO:2000518")
+        .otherwise("METPO:0")
+        .alias("relation"),
+        F.concat(F.lit("infores:src"), (F.col("user_id") % 3).cast("string")).alias(
+            "primary_knowledge_source"
+        ),
+    ).distinct()
+    nodes = (
+        e.select(F.concat(F.lit("medium:"), (F.col("event_id") % 7).cast("string")).alias("id"))
+        .distinct()
+        .select("id", F.concat(F.lit("Medium "), F.substring("id", 8, 10)).alias("name"))
+    )
+    return nodes, edges
+
+
+def q_media_preference(spark, sf_dir):
+    """§3.3 media-preference by METPO relation — executes the SHIPPED
+    query (queries/organism.py:media_preference, reference
+    organism_queries.py:106-117)."""
+    from kg_microbe_spark.queries.organism import media_preference, register_views
+
+    nodes, edges = _media_kg(spark, sf_dir)
+    register_views(spark, nodes, edges)
+    return media_preference(spark, "NCBITaxon:3")
+
+
+_MEDIA_PREF_SQL = """
+WITH edges AS (
+  SELECT DISTINCT
+         'NCBITaxon:' || CAST(user_id % 10 AS VARCHAR) AS subject,
+         'biolink:located_in' AS predicate,
+         'medium:' || CAST(event_id % 7 AS VARCHAR) AS object,
+         CASE WHEN event_type = 'click' THEN 'METPO:2000517'
+              WHEN event_type = 'view' THEN 'METPO:2000518'
+              ELSE 'METPO:0' END AS relation,
+         'infores:src' || CAST(user_id % 3 AS VARCHAR) AS primary_knowledge_source
+  FROM events
+),
+nodes AS (
+  SELECT DISTINCT 'medium:' || CAST(event_id % 7 AS VARCHAR) AS id,
+         'Medium ' || CAST(event_id % 7 AS VARCHAR) AS name
+  FROM events
+)
+SELECT e.relation, e.object AS medium_id, n.name AS medium_name,
+       e.primary_knowledge_source,
+       CASE WHEN e.relation = 'METPO:2000517' THEN 'grows_in' ELSE 'no_growth' END AS preference
+FROM edges e JOIN nodes n ON e.object = n.id
+WHERE e.subject = 'NCBITaxon:3'
+  AND e.relation IN ('METPO:2000517', 'METPO:2000518')
+"""
+
+
+def q_strain_subclass(spark, sf_dir):
+    """§3.3 strain-subclass lookup — executes the SHIPPED query
+    (queries/organism.py:strain_subclasses, reference
+    organism_queries.py:193-205): strains of a species via
+    biolink:subclass_of, restricted to strain-shaped prefixes."""
+    from kg_microbe_spark.queries.organism import register_views, strain_subclasses
+
+    c = _t(spark, sf_dir, "customer")
+    subj = (
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("NCBITaxon:s"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit("kgmicrobe.strain:"), F.col("c_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("OTHER:"), F.col("c_custkey").cast("string")))
+    )
+    pred = F.when(F.col("c_custkey") % 4 == 0, "biolink:related_to").otherwise("biolink:subclass_of")
+    edges = c.select(
+        subj.alias("subject"),
+        pred.alias("predicate"),
+        F.concat(F.lit("NCBITaxon:sp"), F.col("c_nationkey").cast("string")).alias("object"),
+    )
+    nodes = c.select(subj.alias("id"), F.concat(F.lit("Strain "), F.col("c_name")).alias("name"))
+    register_views(spark, nodes, edges)
+    return strain_subclasses(spark, "NCBITaxon:sp7")
+
+
+_STRAIN_SQL = """
+WITH base AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN 'NCBITaxon:s' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 3 = 1 THEN 'kgmicrobe.strain:' || CAST(c_custkey AS VARCHAR)
+              ELSE 'OTHER:' || CAST(c_custkey AS VARCHAR) END AS subject,
+         CASE WHEN c_custkey % 4 = 0 THEN 'biolink:related_to' ELSE 'biolink:subclass_of' END AS predicate,
+         'NCBITaxon:sp' || CAST(c_nationkey AS VARCHAR) AS object,
+         'Strain ' || c_name AS name
+  FROM customer
+)
+SELECT DISTINCT subject AS strain_id, name AS strain_name
+FROM base
+WHERE object = 'NCBITaxon:sp7'
+  AND predicate = 'biolink:subclass_of'
+  AND (subject LIKE 'kgmicrobe.strain:%' OR subject LIKE 'NCBITaxon:%')
+"""
+
+
+def q_binned_traits(spark, sf_dir):
+    """Quantitative value parse + binned-range classification — executes
+    the SHIPPED operator (operators/binning.py; reference
+    metatraits.py:1536-1608, bacdive.py:1331). Trait strings are built
+    from integer arithmetic only (no float formatting divergence across
+    engines), include range values ('lo-hi C') and unparseable rows, and
+    classification is a broadcast range join emitting the value/unit/bin
+    extension columns."""
+    from kg_microbe_spark.operators.binning import (
+        classify_binned,
+        parse_range_midpoint_col,
+        parse_unit_col,
+        range_table,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    # ROUND before the long cast on BOTH engines — Spark's double→long cast
+    # truncates while DuckDB's rounds, so a bare cast diverges.
+    whole = F.round(F.col("value") * 10).cast("long")
+    trait = (
+        F.when(F.col("event_type") == "error", F.lit("unknown"))
+        .when(
+            F.col("event_type") == "view",
+            F.concat((whole % 60).cast("string"), F.lit("-"), (whole % 60 + 10).cast("string"), F.lit(" C")),
+        )
+        .otherwise(F.concat((whole % 90).cast("string"), F.lit("."), (whole % 10).cast("string"), F.lit(" C")))
+    )
+    df = e.select(trait.alias("trait"))
+    parsed = df.select(
+        "trait",
+        parse_range_midpoint_col(F.col("trait")).alias("value"),
+        parse_unit_col(F.col("trait")).alias("unit"),
+    )
+    ranges = range_table(
+        spark, [(-273.0, 15.0, "psychrophile"), (15.0, 45.0, "mesophile"), (45.0, 300.0, "thermophile")]
+    )
+    binned = classify_binned(parsed, "value", ranges)
+    return binned.groupBy("bin_label", "unit").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_BINNED_SQL = """
+WITH t AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'unknown'
+              WHEN event_type = 'view' THEN
+                   CAST(CAST(ROUND(value * 10) AS BIGINT) % 60 AS VARCHAR) || '-' ||
+                   CAST(CAST(ROUND(value * 10) AS BIGINT) % 60 + 10 AS VARCHAR) || ' C'
+              ELSE CAST(CAST(ROUND(value * 10) AS BIGINT) % 90 AS VARCHAR) || '.' ||
+                   CAST(CAST(ROUND(value * 10) AS BIGINT) % 10 AS VARCHAR) || ' C'
+         END AS trait
+  FROM events
+),
+parsed AS (
+  SELECT trait,
+         CASE WHEN regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([0-9]+(?:\\.[0-9]+)?)', 1) <> ''
+              THEN (TRY_CAST(regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
+                    + TRY_CAST(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)) / 2.0
+              ELSE TRY_CAST(regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
+         END AS value,
+         CASE WHEN regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) = '' THEN NULL
+              ELSE trim(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?(?:\\s*-\\s*[0-9]+(?:\\.[0-9]+)?)?\\s*(.*)$', 1))
+         END AS unit
+  FROM t
+),
+r(lo, hi, label) AS (VALUES (-273.0, 15.0, 'psychrophile'), (15.0, 45.0, 'mesophile'), (45.0, 300.0, 'thermophile'))
+SELECT r.label AS bin_label, p.unit, COUNT(*) AS n,
+       MIN(p.value) AS min_value, MAX(p.value) AS max_value
+FROM parsed p LEFT JOIN r ON p.value >= r.lo AND p.value < r.hi
+GROUP BY 1, 2
+"""
+
+
+def q_json_dot_path(spark, sf_dir):
+    """F8 dot-path JSON traversal returning scalar lists — executes the
+    SHIPPED operator (operators/json_path.py; reference
+    bacdive.py:1012-1057): nested docs with a list on the path, values
+    exploded and aggregated."""
+    from kg_microbe_spark.operators.json_path import explode_json_path
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.concat(
+        F.lit('{"a": {"b": ['),
+        k.cast("string"),
+        F.lit(", "),
+        (k + 1).cast("string"),
+        F.lit(']}, "c": {"d": '),
+        (k % 5).cast("string"),
+        F.lit("}}"),
+    )
+    df = e.select(doc.alias("j"))
+    listed = explode_json_path(df, "j", "a.b", "v", elem_type="bigint")
+    scalar = explode_json_path(df, "j", "c.d", "v", elem_type="bigint")
+    return (
+        listed.unionByName(scalar)
+        .groupBy((F.col("v") % 10).alias("v_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+
+
+_JSON_DOT_SQL = """
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+),
+vals AS (
+  SELECT unnest([k, k + 1]) AS v FROM base
+  UNION ALL
+  SELECT k % 5 AS v FROM base
+)
+SELECT v % 10 AS v_bucket, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM vals GROUP BY 1
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path — executes the SHIPPED bucketed operator
+    (operators/similarity.py:lsh_topk): random-hyperplane signatures
+    bucket the corpus, candidates come from a signature equi-join (never
+    all-pairs), exact cosine re-rank within buckets. 6 planes → 64
+    buckets; cosine rounded to 4dp for cross-engine rank stability."""
+    from kg_microbe_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6, round_dp=4)
+
+
+def _ann_lsh_sql() -> str:
+    from kg_microbe_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(dv, CAST({plane!r} AS DOUBLE[])) >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+),
+sig AS (
+  SELECT vec_id, dv, CAST({sig_terms} AS BIGINT) AS lsh_sig FROM v
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         ROUND(list_dot_product(q.dv, c.dv)
+               / (sqrt(list_dot_product(q.dv, q.dv)) * sqrt(list_dot_product(c.dv, c.dv))), 4) AS cosine
+  FROM sig q JOIN sig c ON q.lsh_sig = c.lsh_sig
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, doc_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
@@ -954,6 +1316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_error_buckets": q_json_error_buckets,
         "graph_stats": q_graph_stats,
         "two_hop_composition": q_two_hop_composition,
+        "transitive_closure": q_transitive_closure,
+        "media_preference": q_media_preference,
+        "strain_subclass": q_strain_subclass,
+        "binned_traits": q_binned_traits,
+        "json_dot_path": q_json_dot_path,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -979,7 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_text_dedup": _EXACT_DEDUP_SQL,
         "minhash_signature": _MINHASH_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
-        # simhash_buckets: xxhash64 is engine-specific → rows-only check
+        "simhash_buckets": _simhash_sql(),
         "token_counts": _TOKEN_SQL,
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,
@@ -989,4 +1357,10 @@ def oracle_sql() -> dict[str, str]:
         "json_error_buckets": _JSON_SQL,
         "graph_stats": _GRAPH_STATS_SQL,
         "two_hop_composition": _TWO_HOP_COMP_SQL,
+        "transitive_closure": _CLOSURE_SQL,
+        "media_preference": _MEDIA_PREF_SQL,
+        "strain_subclass": _STRAIN_SQL,
+        "binned_traits": _BINNED_SQL,
+        "json_dot_path": _JSON_DOT_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
     }

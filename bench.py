@@ -43,9 +43,13 @@ BENCH_QUERIES = [
     "minhash_signature",
     "ngram_jaccard_docs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "lang_id",
     "quality_score",
     "two_hop_composition",
+    "transitive_closure",
+    "binned_traits",
+    "simhash_buckets",
 ]
 
 
@@ -129,18 +133,25 @@ def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> 
             wall, n_triples = run_pipeline_once(spark, pages_path)
             walls[cores].append(wall)
             spark.stop()
+    import statistics
+
     results = {}
     for cores in SCALING_CORES:
         best = min(walls[cores])
+        med = statistics.median(walls[cores])
         results[cores] = dict(
             wall_sec=round(best, 2),
+            median_wall_sec=round(med, 2),
             all_walls=[round(w, 1) for w in walls[cores]],
             pages_per_sec=round(n_pages / best, 1),
+            median_pages_per_sec=round(n_pages / med, 1),
             n_triples=n_triples,
         )
     lo, hi = SCALING_CORES
     eff = (results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"]) / (hi / lo)
+    med_eff = (results[hi]["median_pages_per_sec"] / results[lo]["median_pages_per_sec"]) / (hi / lo)
     results["scaling_efficiency"] = round(eff, 3)
+    results["scaling_efficiency_median"] = round(med_eff, 3)
     return results
 
 
@@ -168,7 +179,8 @@ def write_baseline_md(n_pages: int, single: dict, scaling: dict | None, queries:
         lines += [
             "",
             f"**Scaling efficiency (local[{lo}] → local[{hi}], same input): "
-            f"{scaling['scaling_efficiency']}** "
+            f"{scaling['scaling_efficiency']}** (best-of-N interleaved; "
+            f"median-of-N: {scaling['scaling_efficiency_median']}) "
             f"(= throughput ratio / {hi // lo}; north-rule target ≥ 0.8 for N → 4N "
             "executors, evidenced at two parallelism levels on identical input since "
             "no real cluster exists in the sandbox). Cores 2 and 8 are used because "
@@ -243,6 +255,7 @@ def main():
                 f"local{hi}_pages_per_sec": scaling[hi]["pages_per_sec"],
                 "cores": [lo, hi],
                 "efficiency": scaling["scaling_efficiency"],
+                "efficiency_median": scaling["scaling_efficiency_median"],
             }
         print(json.dumps(result))
     finally:

@@ -156,7 +156,11 @@ class FirstWordIndex:
         self.by_first_word = by_first
         self.odd_patterns = odd
 
-    def find_mentions(self, text: str) -> List[Tuple[int, int, str]]:
+    def find_candidates(self, text: str) -> List[Tuple[int, int, str]]:
+        """All boundary-valid matches, longest-per-start, sorted by start —
+        WITHOUT the non-overlap resolution. The sharded scan unions these
+        across pattern shards and resolves leftmost-longest globally
+        (resolution is only correct over the *full* pattern set)."""
         n = len(text)
         by_first = self.by_first_word
         best_end: Dict[int, int] = {}
@@ -188,13 +192,15 @@ class FirstWordIndex:
                     continue
                 if e > best_end.get(s, -1):
                     best_end[s] = e
+        return [(s, best_end[s], text[s : best_end[s]]) for s in sorted(best_end)]
+
+    def find_mentions(self, text: str) -> List[Tuple[int, int, str]]:
         result: List[Tuple[int, int, str]] = []
         pos = 0
-        for s in sorted(best_end):
+        for s, e, surface in self.find_candidates(text):
             if s < pos:
                 continue
-            e = best_end[s]
-            result.append((s, e, text[s:e]))
+            result.append((s, e, surface))
             pos = e
         return result
 

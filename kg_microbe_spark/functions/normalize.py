@@ -246,19 +246,27 @@ def parse_taxonomy_py(tax: str) -> List[Tuple[str, str]]:
 
 
 def parse_taxonomy_col(col: Column) -> Column:
-    """array<struct<rank,name>> via split + transform + filter, no UDF."""
+    """array<struct<rank,name>> via split + transform + filter, no UDF.
+
+    Byte-parity with ``parse_taxonomy_py``: a segment participates only
+    when its 2nd-3rd characters are the literal ``__`` separator — a
+    malformed segment like ``domain`` must NOT yield a ghost ('d', 'ain')
+    row (the Python twin checks ``part[1:3] == '__'``)."""
     parts = F.split(col, ";")
     structs = F.transform(
         parts,
         lambda p: F.struct(
             F.trim(p).substr(F.lit(1), F.lit(1)).alias("code"),
+            F.substring(F.trim(p), 2, 2).alias("sep"),
             F.substring(F.trim(p), 4, 2 ** 30).alias("name"),
         ),
     )
     rank_map = F.create_map(*[F.lit(x) for kv in TAXONOMY_RANKS.items() for x in kv])
     structs = F.filter(
         structs,
-        lambda s: s["code"].isin(list(TAXONOMY_RANKS)) & (F.length(s["name"]) > 0),
+        lambda s: (s["sep"] == "__")
+        & s["code"].isin(list(TAXONOMY_RANKS))
+        & (F.length(s["name"]) > 0),
     )
     return F.transform(structs, lambda s: F.struct(rank_map[s["code"]].alias("rank"), s["name"].alias("name")))
 

@@ -166,16 +166,34 @@ def minhash_lsh_candidates(
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-def simhash_col(shingles: Column, bits: int = 32) -> Column:
+def portable_hash60_col(s: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, as a long.
+    Bit-identical in Spark (conv+cast) and DuckDB (CAST('0x…' AS BIGINT))
+    — used where a SQL oracle must reproduce the hash (xxhash64 is
+    engine-specific)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash_col(shingles: Column, bits: int = 32, portable: bool = False) -> Column:
     """SimHash over shingle hashes: per bit, sign of Σ(±1); JVM-side via
     one aggregate per bit (bit index is a Python literal — shiftright
-    requires a literal shift, so the loop unrolls at plan-build time)."""
+    requires a literal shift, so the loop unrolls at plan-build time).
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash so a
+    DuckDB oracle can reproduce the value exactly (bits must be ≤ 60);
+    xxhash64 stays the default — it is ~3× cheaper per shingle."""
+    if portable:
+        assert bits <= 60, "portable hash provides 60 usable bits"
+        hash_fn = portable_hash60_col
+    else:
+        hash_fn = F.xxhash64
+
     def _merge_for(bit: int):
         # NB: a plain 2-arg lambda — pyspark's higher-order-function wrapper
         # counts parameters, so `b=b` defaults would turn this into a 3-arg
         # lambda variable.
         return lambda acc, s: acc + F.when(
-            F.shiftright(F.xxhash64(s), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            F.shiftright(hash_fn(s), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
         ).otherwise(F.lit(-1))
 
     sim = F.lit(0).cast("long")
@@ -185,10 +203,12 @@ def simhash_col(shingles: Column, bits: int = 32) -> Column:
     return sim
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 2) -> DataFrame:
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 2, portable: bool = False
+) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc"),
-        simhash_col(shingles_col(F.col(text_col), shingle_n), bits).alias("simhash"),
+        simhash_col(shingles_col(F.col(text_col), shingle_n), bits, portable=portable).alias("simhash"),
     )
 
 

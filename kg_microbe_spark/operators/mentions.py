@@ -11,6 +11,18 @@ time (mentions are aggregated per (url, term) before the lexicon join).
 Matching happens on F1-normalized text (lower, Greek→ASCII, punctuation
 strip, whitespace collapse) so the pattern space equals the name-index
 ``term_norm`` space.
+
+Lexicon-at-scale contract (SCALE.md "mention-scan lexicon ceiling"):
+the driver collect + matcher build + broadcast is linear in pattern count
+(measured ~2s build + ~100 MB pickled per 1M patterns). ``scan_mentions``
+refuses pattern sets above ``MAX_BROADCAST_PATTERNS`` (default 4M —
+comfortably inside a 2-4 GB driver budget, but a deliberate ceiling) and
+points to :func:`scan_mentions_sharded`, which splits the pattern space
+into K hash shards, scans once per shard (K× text passes, 1/K broadcast
+peak), and resolves the leftmost-longest-non-overlapping rule GLOBALLY
+after the shard union — per-shard greedy resolution would be wrong, so
+shards emit longest-per-start candidates and a per-url pass picks winners.
+The reference's PREGO dictionary (13.9M names) runs with shards≥4.
 """
 
 from __future__ import annotations
@@ -24,10 +36,15 @@ from kg_microbe_spark.functions.automaton import FirstWordIndex, build_matcher
 from kg_microbe_spark.functions.normalize import normalize_name_py
 from kg_microbe_spark.schemas import MENTIONS_SCHEMA
 
+MAX_BROADCAST_PATTERNS = 4_000_000
 
-def scan_mentions(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
-    """extracted(url,text,…) × name_index → mentions(url, surface,
-    term_norm, start, end). Offsets refer to the normalized text."""
+
+class LexiconTooLargeError(ValueError):
+    """Pattern set exceeds the single-broadcast ceiling — use
+    scan_mentions_sharded (or raise max_broadcast_patterns deliberately)."""
+
+
+def _scan_with_matcher(extracted: DataFrame, name_index: DataFrame, candidates_only: bool) -> DataFrame:
     spark = extracted.sparkSession
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
     matcher = build_matcher(patterns)
@@ -37,6 +54,7 @@ def scan_mentions(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
 
     def _scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac: FirstWordIndex = bc.value
+        find = ac.find_candidates if candidates_only else ac.find_mentions
         for pdf in batches:
             urls: List[str] = []
             surfaces: List[str] = []
@@ -46,7 +64,7 @@ def scan_mentions(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
                 if not text:
                     continue
                 norm = normalize_name_py(text)
-                for s, e, surface in ac.find_mentions(norm):
+                for s, e, surface in find(norm):
                     urls.append(url)
                     surfaces.append(surface)
                     starts.append(s)
@@ -62,6 +80,71 @@ def scan_mentions(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
             )
 
     return extracted.select("url", "text").mapInPandas(_scan, MENTIONS_SCHEMA)
+
+
+def scan_mentions(
+    extracted: DataFrame,
+    name_index: DataFrame,
+    max_broadcast_patterns: int | None = MAX_BROADCAST_PATTERNS,
+) -> DataFrame:
+    """extracted(url,text,…) × name_index → mentions(url, surface,
+    term_norm, start, end). Offsets refer to the normalized text.
+
+    Guarded: pattern sets above ``max_broadcast_patterns`` raise
+    :class:`LexiconTooLargeError` instead of silently building a multi-GB
+    driver object (pass None to bypass deliberately)."""
+    if max_broadcast_patterns is not None:
+        n_patterns = name_index.select("term_norm").distinct().count()
+        if n_patterns > max_broadcast_patterns:
+            raise LexiconTooLargeError(
+                f"{n_patterns} patterns > ceiling {max_broadcast_patterns}; "
+                f"use scan_mentions_sharded(extracted, name_index, shards="
+                f"{-(-n_patterns // max_broadcast_patterns)}) — see SCALE.md"
+            )
+    return _scan_with_matcher(extracted, name_index, candidates_only=False)
+
+
+def scan_mentions_sharded(extracted: DataFrame, name_index: DataFrame, shards: int = 4) -> DataFrame:
+    """Mention scan for pattern sets beyond the broadcast ceiling.
+
+    K hash-shards of the pattern space → K candidate scans (each emits
+    longest-per-start, boundary-valid matches for ITS shard only) →
+    global leftmost-longest-non-overlapping resolution per url. Identical
+    output to :func:`scan_mentions` (property-tested); costs K text passes
+    and one extra (url-keyed) shuffle, in exchange for a K× smaller
+    broadcast/build peak."""
+    assert shards >= 1
+    cands = None
+    for i in range(shards):
+        shard = name_index.filter(F.pmod(F.xxhash64("term_norm"), F.lit(shards)) == i)
+        c = _scan_with_matcher(extracted, shard, candidates_only=True)
+        cands = c if cands is None else cands.unionByName(c)
+    return resolve_leftmost_longest(cands)
+
+
+def resolve_leftmost_longest(candidates: DataFrame) -> DataFrame:
+    """Global non-overlap resolution over unioned shard candidates.
+
+    Sort (start asc, end desc) per url and sweep: keep a match iff it
+    starts at/after the previous winner's end — with end-desc ordering the
+    first match at a given start is the global longest, and later same-
+    start rows fall inside the winner, so one sweep reproduces the
+    single-matcher semantics. Per-url candidate counts are small (≪ text
+    length), so the grouped pandas pass is cheap; the shuffle key is url."""
+    import pandas as pd
+
+    def _resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start", "end"], ascending=[True, False], kind="mergesort")
+        keep: List[int] = []
+        pos = -1
+        for i, (s, e) in enumerate(zip(pdf["start"], pdf["end"])):
+            if s < pos:
+                continue
+            keep.append(i)
+            pos = e
+        return pdf.iloc[keep]
+
+    return candidates.groupBy("url").applyInPandas(_resolve, MENTIONS_SCHEMA)
 
 
 def aggregate_mentions(mentions: DataFrame) -> DataFrame:

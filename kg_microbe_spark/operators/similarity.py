@@ -105,15 +105,23 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 10,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share the full LSH signature (bucket
-    equi-join), then exact cosine re-rank within candidates."""
+    equi-join), then exact cosine re-rank within candidates.
+
+    ``round_dp`` rounds the cosine before ranking — cross-engine oracle
+    comparisons need rank stability under last-ulp float differences; the
+    production path leaves it None (full precision)."""
     corpus = lsh_signatures(embeddings, dim, id_col, vec_col, n_planes)
     qsig = lsh_signatures(queries, dim, id_col, vec_col, n_planes).select(
         F.col("doc_id").alias("query_id"), F.col("dv").alias("qv"), "lsh_sig"
     )
     cand = F.broadcast(qsig).join(corpus, "lsh_sig")
-    scored = cand.select("query_id", "doc_id", cosine_col(F.col("qv"), F.col("dv")).alias("cosine"))
+    cos = cosine_col(F.col("qv"), F.col("dv"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = cand.select("query_id", "doc_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -44,8 +44,24 @@ class CheckpointManager:
         return os.path.join(self.root, "_lineage")
 
     # -- contract ---------------------------------------------------------
-    def is_complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self.stage_path(stage), "_SUCCESS"))
+    def is_complete(self, stage: str, input_fingerprint: str = "") -> bool:
+        """Complete = _SUCCESS exists AND (when the caller supplies an
+        ``input_fingerprint``) the fingerprint recorded at publish time
+        matches — a rerun after the input data / config / stage code
+        changed recomputes instead of silently reading stale output.
+        An empty fingerprint preserves the marker-only contract (the
+        documented same-input assumption). Iceberg target: the same value
+        rides a snapshot summary property."""
+        p = self.stage_path(stage)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return False
+        if not input_fingerprint:
+            return True
+        fp_file = os.path.join(p, "_FINGERPRINT")
+        if not os.path.exists(fp_file):
+            return False
+        with open(fp_file) as f:
+            return f.read() == input_fingerprint
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.stage_path(stage))
@@ -56,6 +72,11 @@ class CheckpointManager:
         t0 = time.time()
         df.write.mode("overwrite").parquet(self.stage_path(stage))
         wall = time.time() - t0
+        if input_fingerprint:
+            # written AFTER _SUCCESS: a crash between the two leaves the
+            # stage "incomplete-for-this-fingerprint" → safe recompute.
+            with open(os.path.join(self.stage_path(stage), "_FINGERPRINT"), "w") as f:
+                f.write(input_fingerprint)
         out = self.read(stage)
         lineage = (
             out.withColumn("partition_id", F.spark_partition_id())
@@ -74,8 +95,9 @@ class CheckpointManager:
         return out
 
     def run_stage(self, stage: str, fn: Callable[[], DataFrame], input_fingerprint: str = "") -> DataFrame:
-        """Idempotent stage execution: complete → read, else compute+publish."""
-        if self.is_complete(stage):
+        """Idempotent stage execution: complete (marker + matching
+        fingerprint, when given) → read, else compute+publish."""
+        if self.is_complete(stage, input_fingerprint):
             return self.read(stage)
         return self.write(fn(), stage, input_fingerprint)
 

@@ -27,6 +27,10 @@ from kg_microbe_spark.operators.triples import (
 from kg_microbe_spark.plans.checkpoint import CheckpointManager
 from kg_microbe_spark.sources import synthetic
 
+# Bump when a stage's semantics change — stale checkpoints from an older
+# pipeline version must not satisfy a resume (part of the stage fingerprint).
+PIPELINE_VERSION = "2"
+
 
 @dataclass
 class PipelineResult:
@@ -67,13 +71,20 @@ def run_pipeline(
     tau: float = 0.0,
     checkpoint: Optional[CheckpointManager] = None,
     validate_extraction: bool = False,
+    input_fingerprint: str = "",
 ) -> PipelineResult:
     """Stages 1-8. With a CheckpointManager each stage publishes to parquet
-    and resumes idempotently; without one it is a single lazy DAG."""
+    and resumes idempotently; without one it is a single lazy DAG.
+
+    ``input_fingerprint`` (e.g. the pages path + snapshot id) is combined
+    with the run config (tau, stopwords, pipeline version) and recorded per
+    stage — a resume after the inputs or config changed recomputes instead
+    of reading stale checkpoints."""
+    config_fp = f"v{PIPELINE_VERSION}|tau={tau}|stop={','.join(sorted(stopwords))}|in={input_fingerprint}"
 
     def stage(name: str, fn):
         if checkpoint is not None:
-            return checkpoint.run_stage(name, fn)
+            return checkpoint.run_stage(name, fn, input_fingerprint=config_fp)
         return fn()
 
     # Stage 1 — EXTRACT (+ url dedup + language routing)

@@ -1,10 +1,14 @@
-"""Query layer — the reference's five organism-query SQL shapes
+"""Query layer — the reference's organism-query SQL shapes
 (query_utils/organism_queries.py) over the merged nodes/edges views.
 
 DuckDB → Spark SQL translation notes: ``STRING_AGG`` becomes
 ``array_join(sort_array(collect_set(...)), ...)`` for deterministic
 ordering; everything else runs verbatim. Register with
 ``register_views(spark, nodes, edges)`` then call each query.
+
+User-supplied values (organism ids, search strings) are bound with
+Spark 4 named parameter markers (``:name`` + ``args=``) — never
+interpolated into the SQL text.
 
 At scale: ``nodes`` is the small side of every join here → broadcast;
 the engine relies on AQE + the session-level broadcast threshold rather
@@ -23,58 +27,103 @@ def register_views(spark: SparkSession, nodes: DataFrame, edges: DataFrame) -> N
 
 def resolve_organism(spark: SparkSession, q: str, limit: int = 10) -> DataFrame:
     """J7/W3: fuzzy name resolution ranked exact > prefix > substring."""
-    ql = q.lower().replace("'", "''")
     return spark.sql(
-        f"""
+        """
         SELECT id, name,
-               CASE WHEN lower(name) = '{ql}' THEN 0
-                    WHEN lower(name) LIKE '{ql}%' THEN 1
+               CASE WHEN lower(name) = :q THEN 0
+                    WHEN lower(name) LIKE :q_prefix THEN 1
                     ELSE 2 END AS match_rank
         FROM nodes
         WHERE id LIKE 'NCBITaxon:%'
-          AND (lower(name) LIKE '%{ql}%')
+          AND (lower(name) LIKE :q_sub)
         ORDER BY match_rank, id
-        LIMIT {limit}
-        """
+        LIMIT """ + str(int(limit)),
+        args={"q": q.lower(), "q_prefix": q.lower() + "%", "q_sub": "%" + q.lower() + "%"},
     )
 
 
 def organism_traits(spark: SparkSession, organism_id: str) -> DataFrame:
     """J4: 1-hop traits = edges LEFT JOIN nodes ON e.object = n.id."""
-    oid = organism_id.replace("'", "''")
     return spark.sql(
-        f"""
+        """
         SELECT e.predicate, e.object, n.name AS object_name, n.category AS object_category
         FROM edges e LEFT JOIN nodes n ON e.object = n.id
-        WHERE e.subject = '{oid}'
+        WHERE e.subject = :oid
         ORDER BY e.predicate, e.object
-        """
+        """,
+        args={"oid": organism_id},
     )
 
 
 def organism_environments(spark: SparkSession, organism_id: str) -> DataFrame:
-    """media-preference analogue: incoming ENVO edges by relation."""
-    oid = organism_id.replace("'", "''")
+    """incoming ENVO edges by relation (environment → organism)."""
     return spark.sql(
-        f"""
+        """
         SELECT e.subject AS environment, n.name AS environment_name, e.predicate, e.relation
         FROM edges e JOIN nodes n ON e.subject = n.id
-        WHERE e.object = '{oid}' AND e.subject LIKE 'ENVO:%'
+        WHERE e.object = :oid AND e.subject LIKE 'ENVO:%'
         ORDER BY e.subject
+        """,
+        args={"oid": organism_id},
+    )
+
+
+# METPO relation codes for growth-media preference (the reference encodes
+# grows-in / does-not-grow-in in the `relation` column while the predicate
+# stays a Biolink term — organism_queries.py:95-140).
+RELATION_GROWS_IN = "METPO:2000517"
+RELATION_NO_GROWTH = "METPO:2000518"
+
+
+def media_preference(spark: SparkSession, taxon_id: str) -> DataFrame:
+    """Growth-media preference by METPO relation — the reference's
+    get_media_preferences (organism_queries.py:106-117): filter on
+    ``relation IN (grows_in, no_growth)``, join medium names, and label
+    each row with its preference split."""
+    return spark.sql(
         """
+        SELECT e.relation,
+               e.object AS medium_id,
+               n.name AS medium_name,
+               e.primary_knowledge_source,
+               CASE WHEN e.relation = :grows THEN 'grows_in' ELSE 'no_growth' END AS preference
+        FROM edges e
+        JOIN nodes n ON e.object = n.id
+        WHERE e.subject = :tid
+          AND e.relation IN (:grows, :nogrow)
+        ORDER BY e.relation, n.name
+        """,
+        args={"tid": taxon_id, "grows": RELATION_GROWS_IN, "nogrow": RELATION_NO_GROWTH},
+    )
+
+
+def strain_subclasses(spark: SparkSession, taxon_id: str) -> DataFrame:
+    """Strain-subclass lookup — the reference's get_strain_info
+    (organism_queries.py:193-205): strains linked to the species node via
+    ``biolink:subclass_of``, restricted to strain-shaped id prefixes."""
+    return spark.sql(
+        """
+        SELECT DISTINCT n.id AS strain_id, n.name AS strain_name
+        FROM edges e
+        JOIN nodes n ON e.subject = n.id
+        WHERE e.object = :tid
+          AND e.predicate = 'biolink:subclass_of'
+          AND (e.subject LIKE 'kgmicrobe.strain:%' OR e.subject LIKE 'NCBITaxon:%')
+        ORDER BY strain_name
+        """,
+        args={"tid": taxon_id},
     )
 
 
 def environment_chemical_profile(spark: SparkSession, environment_id: str) -> DataFrame:
     """J5: 2-hop CTE — environment → taxa → chemicals, with counts and a
     deterministic STRING_AGG analogue."""
-    eid = environment_id.replace("'", "''")
     return spark.sql(
-        f"""
+        """
         WITH taxa AS (
             SELECT e.object AS taxon
             FROM edges e
-            WHERE e.subject = '{eid}' AND e.object LIKE 'NCBITaxon:%'
+            WHERE e.subject = :eid AND e.object LIKE 'NCBITaxon:%'
         ),
         chems AS (
             SELECT e2.object AS chem, t.taxon
@@ -88,7 +137,8 @@ def environment_chemical_profile(spark: SparkSession, environment_id: str) -> Da
         FROM chems c LEFT JOIN nodes n ON c.chem = n.id
         GROUP BY c.chem, n.name
         ORDER BY n_taxa DESC, chemical
-        """
+        """,
+        args={"eid": environment_id},
     )
 
 

@@ -18,13 +18,28 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def canon(v):
+    """Typed canonicalization — mirrors the driver's typed value hash.
+
+    Round-1 lesson: str()-canonicalization hid a DuckDB SUM(BIGINT)→HUGEINT
+    widening that the driver's typed hash caught (7 queries). Values now
+    carry a type tag, with int-family types collapsed to 'int' ONLY for
+    genuine Python ints — Decimal (DuckDB hugeint/decimal results) is kept
+    distinct so a widened sum fails locally exactly like at the gate."""
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}"
-    return str(v)
+            return "float:NaN"
+        return f"float:{v:.6f}"
+    return f"{type(v).__name__}:{v}"
 
 
 def frame_sig(cols, rows):

@@ -35,6 +35,50 @@ def test_stage_idempotent_resume(spark, tmp_path):
     assert all(r.run_id == "r1" for r in lineage)
 
 
+def test_stale_checkpoint_invalidated_by_fingerprint(spark, tmp_path):
+    """A checkpoint published under one input fingerprint must NOT satisfy
+    a resume under a different one (input/config/code changed) — round-1
+    advice: _SUCCESS alone silently served stale data."""
+    root = str(tmp_path / "ckfp")
+    cm = CheckpointManager(spark, root, run_id="r1")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(5)
+
+    cm.run_stage("s", compute, input_fingerprint="fp-v1")
+    assert calls["n"] == 1
+    # same fingerprint → read
+    cm.run_stage("s", compute, input_fingerprint="fp-v1")
+    assert calls["n"] == 1
+    # changed fingerprint → recompute (and re-record)
+    cm.run_stage("s", compute, input_fingerprint="fp-v2")
+    assert calls["n"] == 2
+    cm.run_stage("s", compute, input_fingerprint="fp-v2")
+    assert calls["n"] == 2
+    # no-fingerprint callers keep the marker-only contract
+    cm.run_stage("s", compute)
+    assert calls["n"] == 2
+
+
+def test_pipeline_resume_recomputes_on_tau_change(spark, tmp_path):
+    """run_pipeline folds tau/stopwords/version into the stage fingerprint:
+    rerunning with a different tau must not read tau-stale stages."""
+    pages = synthetic.pages_df(spark, 40, num_partitions=2)
+    lexicon = synthetic.lexicon_df(spark)
+    root = str(tmp_path / "cktau")
+    run_pipeline(spark, pages, lexicon, tau=0.0, checkpoint=CheckpointManager(spark, root, run_id="a")).triples.count()
+    cm = CheckpointManager(spark, root, run_id="b")
+    # stages exist with the tau=0 fingerprint...
+    assert cm.is_complete("s1_extract")
+    # ...but a tau=3.5 run must not treat the scored/edge stages as complete
+    from kg_microbe_spark.plans.pipeline import PIPELINE_VERSION
+
+    fp35 = f"v{PIPELINE_VERSION}|tau=3.5|stop={','.join(sorted(synthetic.STOPWORDS))}|in="
+    assert not cm.is_complete("s6_edges", fp35)
+
+
 def test_pipeline_kill_and_resume_same_output(spark, tmp_path):
     pages = synthetic.pages_df(spark, N, num_partitions=4)
     lexicon = synthetic.lexicon_df(spark)

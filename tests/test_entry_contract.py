@@ -12,7 +12,7 @@ import __spark_entry__ as entry_mod
 
 SF = "/root/testdata/sf0.001"
 
-ROWS_ONLY = {"simhash_buckets"}  # engine-specific hash → no SQL oracle by design
+ROWS_ONLY: set[str] = set()  # round 2: every query has a SQL oracle (simhash went md5-portable)
 
 
 def test_entry_returns_rows(spark):

@@ -124,3 +124,29 @@ def test_parse_taxonomy():
         ("class", "Bacilli"),
         ("species", "B subtilis"),
     ]
+
+
+def test_parse_taxonomy_py_col_parity_on_malformed(spark):
+    """Column twin must match the Python twin on malformed segments — a
+    segment without the '__' separator (e.g. 'domain') must not yield a
+    ghost ('d', 'ain') row (round-1 advice: only the happy path was
+    parity-tested)."""
+    from pyspark.sql import functions as F
+
+    from kg_microbe_spark.functions.normalize import parse_taxonomy_col
+
+    vals = [
+        "d__Bacteria;p__Firmicutes",
+        "domain;p__Firmicutes",          # no separator → segment skipped
+        "d_Bacteria;dXYBacteria;d__",    # wrong sep / empty name → skipped
+        " d__Spaced ; p__Padded ",       # trimmed before separator check
+        "x__Unknown;d__Ok",              # unknown rank code → skipped
+        "",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "tax string")
+    got = [
+        [(s["rank"], s["name"]) for s in r.parsed]
+        for r in df.select(parse_taxonomy_col(F.col("tax")).alias("parsed")).collect()
+    ]
+    expected = [parse_taxonomy_py(v) for v in vals]
+    assert got == expected
