@@ -67,35 +67,49 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. groupBy(doc_id) → collect_set(word): the per-doc mention set.
       2. final groupBy(subject, predicate, object).
 
-    Co-occurrence pairs are generated IN-ROW by a double explode of the
-    mention set (a generator inside whole-stage codegen — never a self-
-    join shuffle of the mentions table, never a broadcast fed by the
-    documents scan). Per-doc pair fan-out is |mentions|² but streams
-    through the generator; web pages bound |mentions|, and a mention cap
-    per doc is the documented knob if a pathological page appears.
+    Co-occurrence pairs are generated IN-ROW (never a self-join shuffle of
+    the mentions table, never a broadcast fed by the documents scan), and
+    only the two predicate-bearing category crosses (taxon×chem, env×taxon)
+    are built — 2/9 of the naive all-pairs fan-out. Web pages bound the
+    per-doc mention count; a mention cap (slice the collected set) is the
+    documented knob if a pathological page appears.
     """
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     words = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     ).filter((F.col("word") != "") & ~F.col("word").isin(list(KG_STOPWORDS)))
     per_doc = words.groupBy("doc_id", "source").agg(F.collect_set("word").alias("ws"))
-    pairs = (
-        per_doc.select("doc_id", "source", F.explode("ws").alias("sw"), "ws")
-        .select("doc_id", "source", "sw", F.explode("ws").alias("ow"))
-        .filter(F.col("sw") != F.col("ow"))
+    # only two of the nine category pairings carry a predicate — build those
+    # crosses in-row (per-category arrays first) instead of exploding all
+    # pairs and filtering 7/9 of them away afterwards.
+    tax = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 0)
+    chem = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 1)
+    env = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 2)
+
+    def _cross(a, b, pred):
+        return F.flatten(
+            F.transform(
+                a,
+                lambda s: F.transform(
+                    b, lambda o: F.struct(s.alias("sw"), o.alias("ow"), F.lit(pred).alias("predicate"))
+                ),
+            )
+        )
+
+    pairs = per_doc.select(
+        "source",
+        F.explode(
+            F.concat(
+                _cross(tax, chem, "biolink:interacts_with"),
+                _cross(env, tax, "biolink:occurs_in"),
+            )
+        ).alias("p"),
     )
-    s_cat = F.length("sw") % 3  # 0=taxon, 1=chem, 2=env (deterministic testdata categories)
-    o_cat = F.length("ow") % 3
-    kept = pairs.withColumn(
-        "predicate",
-        F.when((s_cat == 0) & (o_cat == 1), "biolink:interacts_with")
-        .when((s_cat == 2) & (o_cat == 0), "biolink:occurs_in"),
-    ).filter(F.col("predicate").isNotNull())
     return (
-        kept.select(
-            F.concat(F.lit("W:"), F.col("sw")).alias("subject"),
-            "predicate",
-            F.concat(F.lit("W:"), F.col("ow")).alias("object"),
+        pairs.select(
+            F.concat(F.lit("W:"), F.col("p.sw")).alias("subject"),
+            F.col("p.predicate").alias("predicate"),
+            F.concat(F.lit("W:"), F.col("p.ow")).alias("object"),
             "source",
         )
         .groupBy("subject", "predicate", "object")

@@ -57,22 +57,13 @@ def normalize_kgx_frame(df: DataFrame, canonical_columns: Sequence[str]) -> Data
 # F13 — category consolidation by biolink hierarchy depth.
 # ---------------------------------------------------------------------------
 
-# Minimal depth map mirroring the reference's hierarchy walk: deeper =
-# more specific. Extend as categories appear.
-BIOLINK_CATEGORY_DEPTH: Dict[str, int] = {
-    "biolink:NamedThing": 0,
-    "biolink:BiologicalEntity": 1,
-    "biolink:ChemicalEntity": 1,
-    "biolink:EnvironmentalFeature": 1,
-    "biolink:OrganismTaxon": 2,
-    "biolink:MolecularEntity": 2,
-    "biolink:SmallMolecule": 3,
-    "biolink:BiologicalProcess": 2,
-    "biolink:CellularComponent": 2,
-    "biolink:MolecularActivity": 2,
-    "biolink:GrowthMedium": 2,
-    "biolink:ChemicalMixture": 2,
-}
+# Depths DERIVED by BFS over the is_a hierarchy (functions/biolink.py),
+# exactly like the reference's walk over biolink-model.yaml
+# (utils/biolink_hierarchy.py:100-109) — no hand-maintained depth table.
+# Unknown categories fall back identically to the reference (fail open).
+from kg_microbe_spark.functions.biolink import compute_depths as _compute_depths
+
+BIOLINK_CATEGORY_DEPTH: Dict[str, int] = _compute_depths()
 
 
 def consolidate_category_col(category: Column, depth_map: Optional[Dict[str, int]] = None) -> Column:

@@ -54,8 +54,15 @@ def scan_mentions_with_ts(extracted: DataFrame, name_index: DataFrame) -> DataFr
     from kg_microbe_spark.functions.normalize import normalize_name_py
     from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
+    from kg_microbe_spark.operators.mentions import MAX_BROADCAST_PATTERNS, LexiconTooLargeError
+
     spark = extracted.sparkSession
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
+    if len(patterns) > MAX_BROADCAST_PATTERNS:  # same ceiling as the batch scan (SCALE.md)
+        raise LexiconTooLargeError(
+            f"{len(patterns)} patterns > ceiling {MAX_BROADCAST_PATTERNS}; "
+            "shard the pattern space (scan_mentions_sharded semantics) before streaming"
+        )
     bc = spark.sparkContext.broadcast(build_matcher(patterns))
 
     schema = StructType(
