@@ -346,28 +346,17 @@ FROM customer GROUP BY c_nationkey
 
 
 def q_pairwise_jaccard(spark, sf_dir):
-    """A4: Jaccard overlap of part-type sets between brand pairs."""
+    """A4 — executes the SHIPPED operator (similarity.pairwise_jaccard):
+    Jaccard overlap of part-type sets between brand pairs (rounded to 6dp
+    for cross-engine hash stability)."""
+    from kg_microbe_spark.operators.similarity import pairwise_jaccard
+
     p = _t(spark, sf_dir, "part")
-    items = p.select(F.col("p_brand").alias("k"), F.col("p_type").alias("item")).distinct()
-    sizes = items.groupBy("k").agg(F.count("*").alias("n"))
-    a = items.select(F.col("k").alias("brand_a"), "item")
-    b = items.select(F.col("k").alias("brand_b"), "item")
-    inter = (
-        a.join(b, "item")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("k").alias("brand_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("k").alias("brand_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(sa, "brand_a")
-        .join(sb, "brand_b")
-        .select(
-            "brand_a",
-            "brand_b",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
-        )
+    pairs = pairwise_jaccard(p, key_col="p_brand", item_col="p_type")
+    return pairs.select(
+        F.col("key_a").alias("brand_a"),
+        F.col("key_b").alias("brand_b"),
+        F.round(F.col("jaccard"), 6).alias("jaccard"),
     )
 
 
@@ -624,11 +613,12 @@ SELECT rank, name, COUNT(*) AS n FROM parts GROUP BY rank, name
 # ===========================================================================
 
 def q_exact_text_dedup(spark, sf_dir):
+    """A1/exact dedup — executes the SHIPPED operator
+    (dedup.exact_text_dedup: normalized-text md5, min-id winner)."""
+    from kg_microbe_spark.operators.dedup import exact_text_dedup
+
     d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
-    return d.select(h.alias("text_hash"), "doc_id").groupBy("text_hash").agg(
-        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id")
-    )
+    return exact_text_dedup(d, "doc_id", "text")
 
 
 _EXACT_DEDUP_SQL = """
@@ -1290,6 +1280,211 @@ SELECT query_id, doc_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 # ===========================================================================
+# Scalar-function + schema-normalization entry queries (F2/F5-F7/A9/J7) —
+# each executes the SHIPPED function/operator; oracles are generated from
+# the same tables the implementations use, so they cannot drift.
+# ===========================================================================
+
+def q_compact_curie(spark, sf_dir):
+    """F2/F3 URI→CURIE compaction — executes normalize.compact_curie_col
+    over synthesized URIs covering the order-sensitive eccode trap and an
+    unmatched passthrough."""
+    from kg_microbe_spark.functions.normalize import compact_curie_col
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    uri = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("http://purl.obolibrary.org/obo/CHEBI_"), pk))
+        .when(F.col("p_partkey") % 5 == 1, F.concat(F.lit("http://purl.obolibrary.org/obo/NCBITaxon_"), pk))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("eccode:"), pk))
+        .when(F.col("p_partkey") % 5 == 3, F.concat(F.lit("https://bioregistry.io/eccode:"), pk))
+        .otherwise(F.concat(F.lit("urn:other:"), pk))
+    )
+    return p.select(uri.alias("uri")).select("uri", compact_curie_col(F.col("uri")).alias("curie"))
+
+
+def _compact_curie_sql() -> str:
+    from kg_microbe_spark.functions.normalize import DEFAULT_PREFIX_TABLE
+
+    branches = "\n         ".join(
+        f"WHEN starts_with(uri, '{src}') THEN '{dst}' || substr(uri, {len(src) + 1})"
+        for src, dst in DEFAULT_PREFIX_TABLE
+    )
+    return f"""
+WITH uris AS (
+  SELECT CASE WHEN p_partkey % 5 = 0 THEN 'http://purl.obolibrary.org/obo/CHEBI_' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 5 = 1 THEN 'http://purl.obolibrary.org/obo/NCBITaxon_' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 5 = 2 THEN 'eccode:' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 5 = 3 THEN 'https://bioregistry.io/eccode:' || CAST(p_partkey AS VARCHAR)
+              ELSE 'urn:other:' || CAST(p_partkey AS VARCHAR) END AS uri
+  FROM part
+)
+SELECT uri, CASE {branches}
+         ELSE uri END AS curie
+FROM uris
+"""
+
+
+def q_sanitize_curie(spark, sf_dir):
+    """F5 (+F6) — executes normalize.sanitize_curie_col after
+    strip_crlf_col on dirty CURIEs (spaces, braces, quotes, brackets,
+    embedded newline; plus a no-colon passthrough row shape)."""
+    from kg_microbe_spark.functions.normalize import sanitize_curie_col, strip_crlf_col
+
+    p = _t(spark, sf_dir, "part")
+    dirty_tail = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(" {a}"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit('"b"'))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("[c]"))
+        .otherwise(F.lit(""))
+    )
+    raw = F.when(
+        F.col("p_partkey") % 7 == 0, F.concat(F.lit("noprefix "), F.col("p_name"))
+    ).otherwise(F.concat(F.lit("X:"), F.col("p_name"), F.lit("\n"), dirty_tail))
+    df = p.select(raw.alias("raw"))
+    return df.select("raw", sanitize_curie_col(strip_crlf_col(F.col("raw"))).alias("clean"))
+
+
+def _sanitize_curie_sql() -> str:
+    from kg_microbe_spark.functions.normalize import _CURIE_UNSAFE
+
+    expr = "suffix"
+    for ch in _CURIE_UNSAFE:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{lit}', '%{ord(ch):02X}')"
+    return f"""
+WITH raws AS (
+  SELECT CASE WHEN p_partkey % 7 = 0 THEN 'noprefix ' || p_name
+              ELSE 'X:' || p_name || chr(10) ||
+                   CASE WHEN p_partkey % 4 = 0 THEN ' {{a}}'
+                        WHEN p_partkey % 4 = 1 THEN '"b"'
+                        WHEN p_partkey % 4 = 2 THEN '[c]'
+                        ELSE '' END END AS raw
+  FROM part
+),
+stripped AS (
+  SELECT raw, replace(replace(raw, chr(13), ''), chr(10), '') AS s FROM raws
+),
+split AS (
+  SELECT raw, s, split_part(s, ':', 1) AS prefix, regexp_replace(s, '^[^:]*:', '') AS suffix
+  FROM stripped
+)
+SELECT raw, CASE WHEN contains(s, ':') THEN prefix || ':' || {expr} ELSE s END AS clean
+FROM split
+"""
+
+
+def q_safe_float(spark, sf_dir):
+    """F7 — executes normalize.safe_float_col: malformed / non-finite →
+    0.0 under ANSI mode (try_cast path)."""
+    from kg_microbe_spark.functions.normalize import safe_float_col
+
+    e = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 90).cast("string")
+    s = (
+        F.when(F.col("event_type") == "error", F.lit("not-a-number"))
+        .when(F.col("event_type") == "signup", F.lit("NaN"))
+        .when(F.col("event_type") == "click", F.lit("Infinity"))
+        .when(F.col("event_type") == "view", F.lit(""))
+        .otherwise(F.concat(k, F.lit("."), (F.col("user_id") % 10).cast("string")))
+    )
+    df = e.select(s.alias("s"))
+    return df.groupBy("s", safe_float_col(F.col("s")).alias("v")).agg(F.count("*").alias("n"))
+
+
+_SAFE_FLOAT_SQL = """
+WITH raw AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'not-a-number'
+              WHEN event_type = 'signup' THEN 'NaN'
+              WHEN event_type = 'click' THEN 'Infinity'
+              WHEN event_type = 'view' THEN ''
+              ELSE CAST(user_id % 90 AS VARCHAR) || '.' || CAST(user_id % 10 AS VARCHAR) END AS s
+  FROM events
+),
+parsed AS (SELECT s, TRY_CAST(s AS DOUBLE) AS t FROM raw)
+SELECT s,
+       CASE WHEN t IS NULL OR isnan(t) OR isinf(t) THEN 0.0 ELSE t END AS v,
+       COUNT(*) AS n
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def q_kgx_normalize(spark, sf_dir):
+    """A9 (+F6, legacy rename, leaked-column drop, canonical projection) —
+    executes kgx_schema.normalize_kgx_frame on a frame with BOTH
+    knowledge_source and primary_knowledge_source populated/empty/null,
+    a leaked `meta` column, CR/LF in names, and a missing canonical
+    column (category → '')."""
+    from kg_microbe_spark.operators.kgx_schema import normalize_kgx_frame
+
+    e = _t(spark, sf_dir, "events")
+    ks = (
+        F.when(F.col("user_id") % 3 == 0, F.lit(""))
+        .when(F.col("user_id") % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ks:"), (F.col("user_id") % 5).cast("string")))
+    )
+    pks = F.when(
+        F.col("user_id") % 2 == 0, F.concat(F.lit("pks:"), (F.col("user_id") % 7).cast("string"))
+    ).otherwise(F.lit(""))
+    df = e.select(
+        F.concat(F.lit("E:"), F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("n"), F.lit("\n"), F.col("event_type")).alias("name"),
+        ks.alias("knowledge_source"),
+        pks.alias("primary_knowledge_source"),
+        F.lit("leak").alias("meta"),
+    )
+    return normalize_kgx_frame(df, ["id", "name", "category", "primary_knowledge_source"])
+
+
+_KGX_NORMALIZE_SQL = """
+WITH base AS (
+  SELECT 'E:' || CAST(event_id AS VARCHAR) AS id,
+         replace('n' || chr(10) || event_type, chr(10), '') AS name,
+         CASE WHEN user_id % 3 = 0 THEN ''
+              WHEN user_id % 3 = 1 THEN NULL
+              ELSE 'ks:' || CAST(user_id % 5 AS VARCHAR) END AS ks,
+         CASE WHEN user_id % 2 = 0 THEN 'pks:' || CAST(user_id % 7 AS VARCHAR) ELSE '' END AS pks
+  FROM events
+)
+SELECT id, name, '' AS category,
+       CASE WHEN pks IS NULL OR trim(pks) = '' THEN ks ELSE pks END AS primary_knowledge_source
+FROM base
+"""
+
+
+def q_resolve_organism(spark, sf_dir):
+    """J7/W3 — executes the SHIPPED query (organism.resolve_organism):
+    fuzzy name resolution ranked exact > prefix > substring, top-10."""
+    from kg_microbe_spark.queries.organism import register_views, resolve_organism
+
+    p = _t(spark, sf_dir, "part")
+    nodes = p.select(
+        F.concat(F.lit("NCBITaxon:"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("name"),
+    )
+    edges = _t(spark, sf_dir, "nation").select(
+        F.lit("N:0").alias("subject"), F.lit("x").alias("predicate"), F.lit("N:1").alias("object")
+    )
+    register_views(spark, nodes, edges)
+    return resolve_organism(spark, "bolt", limit=10)
+
+
+_RESOLVE_SQL = """
+WITH nodes AS (
+  SELECT 'NCBITaxon:' || CAST(p_partkey AS VARCHAR) AS id, p_name AS name FROM part
+)
+SELECT id, name,
+       CASE WHEN lower(name) = 'bolt' THEN 0
+            WHEN lower(name) LIKE 'bolt%' THEN 1
+            ELSE 2 END AS match_rank
+FROM nodes
+WHERE id LIKE 'NCBITaxon:%' AND lower(name) LIKE '%bolt%'
+ORDER BY match_rank, id
+LIMIT 10
+"""
+
+
+# ===========================================================================
 # Contract functions
 # ===========================================================================
 
@@ -1336,6 +1531,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_traits": q_binned_traits,
         "json_dot_path": q_json_dot_path,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "compact_curie": q_compact_curie,
+        "sanitize_curie": q_sanitize_curie,
+        "safe_float": q_safe_float,
+        "kgx_normalize": q_kgx_normalize,
+        "resolve_organism": q_resolve_organism,
     }
 
 
@@ -1377,4 +1577,9 @@ def oracle_sql() -> dict[str, str]:
         "binned_traits": _BINNED_SQL,
         "json_dot_path": _JSON_DOT_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "compact_curie": _compact_curie_sql(),
+        "sanitize_curie": _sanitize_curie_sql(),
+        "safe_float": _SAFE_FLOAT_SQL,
+        "kgx_normalize": _KGX_NORMALIZE_SQL,
+        "resolve_organism": _RESOLVE_SQL,
     }

@@ -105,21 +105,28 @@ def bench_queries(spark) -> dict:
     return out
 
 
-SCALING_CORES = (2, 8)  # N and 4N. Measured on this box, aggregate CPU
-# throughput saturates near 8-16 Spark threads (host-level capping: raw
-# 32-process CPU scaling tops out at ~3.2x of 8) and mixed JVM+Python
-# stages cliff at 32 threads, so the honest linear region for the N->4N
-# comparison is 2 vs 8 cores on identical input.
+SCALING_CORES = (1, 4)  # N and 4N cores (the sandbox-allowed evidence shape).
+# Measured on this box, aggregate CPU throughput saturates near 8-16 Spark
+# threads (host-level capping: raw 32-process CPU scaling tops out at ~3.2x
+# of 8 processes), so high-core legs measure the HOST ceiling, not the
+# engine — 1 vs 4 cores keeps both legs inside the host's linear region.
+#
+# Corpus sizing: solving wall = serial + parallel/cores on quiet-window
+# measurements gives ~10-17s serial (driver/dimension/job-launch overhead)
+# + ~0.31ms/page parallelizable. Efficiency >= 0.8 needs the parallel part
+# to dominate: the default scaling corpus is 800k pages in coarse (64)
+# partitions — fewer per-task fixed costs, still >= 16 tasks/core at 4.
 
 
 def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> dict:
-    """Same job, same input, two parallelism levels. One warm-up run per
-    session (on the small corpus) takes JVM/codegen/Python-worker startup
-    out of the measurement; the measured run is the steady-state pipeline
-    on the large corpus, where compute dominates fixed per-stage latency."""
+    """Same job, same input, two parallelism levels. EVERY session gets a
+    warm-up run (small corpus) so JVM codegen / Python-worker startup is
+    out of every measured leg — each round builds a fresh session, and a
+    cold leg carries ~5-10s of compile noise that poisons the serial
+    fraction of the comparison."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
-    # Interleaved rounds: host noise is time-correlated (disk writeback
-    # storms swing single runs ±50%), so alternating the two parallelism
+    # Interleaved rounds: host noise is time-correlated (hypervisor steal
+    # swings identical runs 2-5×), so alternating the two parallelism
     # levels round-by-round and taking each leg's minimum gives both legs
     # the same exposure to quiet windows.
     walls = {c: [] for c in SCALING_CORES}
@@ -128,8 +135,7 @@ def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> 
         for cores in SCALING_CORES:
             spark = make_spark(cores)
             spark.sparkContext.setLogLevel("ERROR")
-            if rnd == 0:
-                run_pipeline_once(spark, warm_path or pages_path)  # warm-up
+            run_pipeline_once(spark, warm_path or pages_path)  # warm-up, every session
             wall, n_triples = run_pipeline_once(spark, pages_path)
             walls[cores].append(wall)
             spark.stop()
@@ -178,15 +184,25 @@ def write_baseline_md(n_pages: int, single: dict, scaling: dict | None, queries:
             )
         lines += [
             "",
+            "Raw interleaved walls (s) — the shared host shows 2-5× time-correlated",
+            "noise (hypervisor steal; identical back-to-back runs measured 31.6s /",
+            "46.9s / 169.2s), which is why best-of-N over interleaved rounds is the",
+            "estimator:",
+            "",
+        ]
+        for cores in SCALING_CORES:
+            lines.append(f"- local[{cores}]: {scaling[cores]['all_walls']}")
+        lines += [
+            "",
             f"**Scaling efficiency (local[{lo}] → local[{hi}], same input): "
             f"{scaling['scaling_efficiency']}** (best-of-N interleaved; "
             f"median-of-N: {scaling['scaling_efficiency_median']}) "
             f"(= throughput ratio / {hi // lo}; north-rule target ≥ 0.8 for N → 4N "
             "executors, evidenced at two parallelism levels on identical input since "
-            "no real cluster exists in the sandbox). Cores 2 and 8 are used because "
-            "measured host capacity saturates near 8-16 threads (raw 32-process CPU "
-            "scaling tops out at ~3.2x of 8 processes), so 8→32 measures the host "
-            "ceiling, not the engine.",
+            f"no real cluster exists in the sandbox). Cores {lo} and {hi} are used "
+            "because measured host capacity saturates near 8-16 threads (raw "
+            "32-process CPU scaling tops out at ~3.2x of 8 processes) — higher-core "
+            "legs measure the host ceiling, not the engine.",
         ]
     lines += ["", "## Headline query times (sec)", "", "| query | sec |", "|---|---|"]
     for k, v in queries.items():
@@ -203,8 +219,8 @@ def main():
     ap.add_argument(
         "--scaling-pages",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000")),
-        help="corpus for the local[8]-vs-local[32] runs (larger so compute dominates fixed overheads)",
+        default=int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "800000")),
+        help="corpus for the scaling runs (large so compute dominates fixed overheads)",
     )
     args = ap.parse_args()
 
@@ -216,7 +232,7 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         materialize_pages(spark, args.pages, pages_path, partitions=CPUS * 4)
         if args.scaling:
-            materialize_pages(spark, args.scaling_pages, scaling_path, partitions=CPUS * 8)
+            materialize_pages(spark, args.scaling_pages, scaling_path, partitions=64)
         queries = bench_queries(spark)
         spark.stop()
 

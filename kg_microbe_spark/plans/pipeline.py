@@ -103,8 +103,12 @@ def run_pipeline(
     name_index = _localize(build_name_index(lexicon, stopwords))
     xref_routing = _localize(build_xref_routing(lexicon))
 
-    # Stage 3 — MENTIONS (trie scan)
-    mentions = stage("s3_mentions", lambda: scan_mentions(en_pages, name_index))
+    # Stage 3 — MENTIONS (trie scan). The size guard is skipped here: the
+    # index was just localized (driver already materialized it), so the
+    # guard's count() job would only re-measure a known-small relation.
+    mentions = stage(
+        "s3_mentions", lambda: scan_mentions(en_pages, name_index, max_broadcast_patterns=None)
+    )
 
     # Stage 4-5 — LINK + CANON. The lexicon join is a broadcast (map-side),
     # so raw mentions are joined directly and ONE groupBy (url, curie) does
