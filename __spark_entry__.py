@@ -1452,6 +1452,54 @@ FROM base
 """
 
 
+def q_node_filters(spark, sf_dir):
+    """P6/P8/P9 filter family — metamodel-edge drop (predicate isin
+    drop-list), node-removal by id prefix (~rlike), and trust-gated rows
+    (source isin allow-list), composed the way the merge prunes frames
+    (kgx_schema drop patterns; reference ontologies_transform.py P6/P9,
+    term-mapping trust gate P8)."""
+    e = _t(spark, sf_dir, "events")
+    node_id = (
+        F.when(F.col("user_id") % 4 == 0, F.concat(F.lit("_:b"), F.col("user_id").cast("string")))
+        .when(F.col("user_id") % 4 == 1, F.concat(F.lit("OBSOLETE:"), F.col("user_id").cast("string")))
+        .otherwise(F.concat(F.lit("CHEBI:"), F.col("user_id").cast("string")))
+    )
+    predicate = (
+        F.when(F.col("event_type") == "error", "rdfs:subPropertyOf")
+        .when(F.col("event_type") == "view", "owl:inverseOf")
+        .otherwise("biolink:related_to")
+    )
+    trust = F.when(F.col("event_id") % 3 == 0, "curated").when(F.col("event_id") % 3 == 1, "mixs").otherwise("low")
+    df = e.select(node_id.alias("id"), predicate.alias("predicate"), trust.alias("trust"))
+    kept = (
+        df.filter(~F.col("predicate").isin("rdfs:subPropertyOf", "owl:inverseOf"))  # P6
+        .filter(~F.col("id").rlike(r"^(_:|OBSOLETE:)"))  # P9
+        .filter(F.col("trust").isin("curated", "mixs"))  # P8
+    )
+    return kept.groupBy("predicate", "trust").agg(F.count("*").alias("n"))
+
+
+_NODE_FILTERS_SQL = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 4 = 0 THEN '_:b' || CAST(user_id AS VARCHAR)
+              WHEN user_id % 4 = 1 THEN 'OBSOLETE:' || CAST(user_id AS VARCHAR)
+              ELSE 'CHEBI:' || CAST(user_id AS VARCHAR) END AS id,
+         CASE WHEN event_type = 'error' THEN 'rdfs:subPropertyOf'
+              WHEN event_type = 'view' THEN 'owl:inverseOf'
+              ELSE 'biolink:related_to' END AS predicate,
+         CASE WHEN event_id % 3 = 0 THEN 'curated'
+              WHEN event_id % 3 = 1 THEN 'mixs' ELSE 'low' END AS trust
+  FROM events
+)
+SELECT predicate, trust, COUNT(*) AS n
+FROM base
+WHERE predicate NOT IN ('rdfs:subPropertyOf', 'owl:inverseOf')
+  AND NOT regexp_matches(id, '^(_:|OBSOLETE:)')
+  AND trust IN ('curated', 'mixs')
+GROUP BY 1, 2
+"""
+
+
 def q_resolve_organism(spark, sf_dir):
     """J7/W3 — executes the SHIPPED query (organism.resolve_organism):
     fuzzy name resolution ranked exact > prefix > substring, top-10."""
@@ -1536,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_float": q_safe_float,
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
+        "node_filters": q_node_filters,
     }
 
 
@@ -1582,4 +1631,5 @@ def oracle_sql() -> dict[str, str]:
         "safe_float": _SAFE_FLOAT_SQL,
         "kgx_normalize": _KGX_NORMALIZE_SQL,
         "resolve_organism": _RESOLVE_SQL,
+        "node_filters": _NODE_FILTERS_SQL,
     }

@@ -22,7 +22,7 @@ from kg_microbe_spark.sources.synthetic import extract_text_from_html
 EXTRACT_VERSION = "1"  # bump when extraction semantics change
 
 
-def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
+def dedup_pages_by_url(pages: DataFrame, broadcast_dup_urls: bool = True) -> DataFrame:
     """Keep the latest capture per url: max_by over the total order
     (warc_ts, text length, text).
 
@@ -33,15 +33,26 @@ def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
     1. one cheap shuffle of (url) only (column-pruned scan + partial
        count) finds the duplicated urls;
     2. unique pages pass through with NO wide exchange (left_anti against
-       the dup-url set — broadcast when small, AQE decides otherwise);
+       the dup-url set);
     3. only the duplicated captures' full rows shuffle, into a map-side-
        combinable max_by whose ordering struct is a total order →
        deterministic winner under any partitioning (pandas' stable
-       mergesort has no distributed analog, SURVEY.md §7.3)."""
+       mergesort has no distributed analog, SURVEY.md §7.3).
+
+    The dup-url set is EXPLICITLY broadcast by default: its pre-runtime
+    size estimate is unknown (it sits above an aggregate), so without the
+    hint AQE first shuffle-materializes the FULL pages table (html bytes
+    and all) for both joins before it can convert them — measured 46s of
+    a 113s local[4] wall on 800k pages, at 0.3-1.4x parallel efficiency.
+    The dup-url set is (url)-only and a few % of the corpus; it fits the
+    broadcast budget far past 10^9 pages. Beyond that, pass False and
+    accept the shuffle joins (or pre-bucket the pages table by url)."""
     cols = pages.columns
     dup_urls = (
         pages.groupBy("url").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).select("url")
     )
+    if broadcast_dup_urls:
+        dup_urls = F.broadcast(dup_urls)
     uniques = pages.join(dup_urls, "url", "left_anti")
     dups = pages.join(dup_urls, "url", "left_semi")
     ordering = F.struct(
