@@ -1500,6 +1500,110 @@ GROUP BY 1, 2
 """
 
 
+def q_term_linking(spark, sf_dir):
+    """N1/N3/N5/N7 + W2 — executes the SHIPPED term-linking cascade
+    (operators/term_linking.py: distinct-term extraction → curated-first →
+    exact index match → partial token match with W2 char-set-overlap
+    argmax → deterministic mint fallback). Inputs are lowercase-ASCII so
+    F1 normalization is the identity on both engines; the Spark char-set
+    includes split('')'s empty sentinel on BOTH sides of the overlap, a
+    constant shift that cannot reorder the argmax."""
+    from kg_microbe_spark.operators.term_linking import extract_distinct_terms, link_terms
+
+    p = _t(spark, sf_dir, "part")
+    cells = p.select(F.concat_ws(", ", F.col("p_name"), F.lower("p_type")).alias("traits"))
+    terms = extract_distinct_terms(cells, "traits")
+    idx = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(F.col("p_name").alias("label"))
+        .distinct()
+        .select(
+            F.col("label").alias("term_norm"),
+            F.concat(F.lit("T:"), F.md5("label")).alias("curie"),
+            "label",
+            F.when(F.length("label") % 2 == 0, "biolink:ChemicalEntity")
+            .otherwise("biolink:OrganismTaxon")
+            .alias("category"),
+        )
+    )
+    curated = (
+        p.filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_name").alias("nm"))
+        .distinct()
+        .select(
+            F.col("nm").alias("term_norm"),
+            F.concat(F.lit("CUR:"), F.md5("nm")).alias("curie"),
+            F.concat(F.lit("Curated "), F.col("nm")).alias("label"),
+            F.lit("biolink:Attribute").alias("category"),
+        )
+    )
+    resolved, _unmatched = link_terms(terms, idx, curated)
+    return resolved
+
+
+_TERM_LINKING_SQL = """
+WITH cells AS (SELECT p_name || ', ' || lower(p_type) AS traits FROM part),
+terms AS (
+  SELECT DISTINCT trim(t) AS term, trim(t) AS term_norm
+  FROM (SELECT unnest(string_split(traits, ', ')) AS t FROM cells)
+  WHERE trim(t) <> '' AND trim(t) <> 'NA'
+),
+idx2 AS (
+  SELECT label AS term_norm, 'T:' || md5(label) AS curie, label,
+         CASE WHEN length(label) % 2 = 0 THEN 'biolink:ChemicalEntity'
+              ELSE 'biolink:OrganismTaxon' END AS category
+  FROM (SELECT DISTINCT p_name AS label FROM part WHERE p_partkey % 3 = 0)
+),
+cm2 AS (
+  SELECT nm AS term_norm, 'CUR:' || md5(nm) AS curie, 'Curated ' || nm AS label,
+         'biolink:Attribute' AS category
+  FROM (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 = 0)
+),
+j2 AS (
+  SELECT t.term, t.term_norm,
+         cm2.curie AS cm_curie, cm2.label AS cm_label, cm2.category AS cm_category,
+         i.curie AS ex_curie, i.label AS ex_label, i.category AS ex_category
+  FROM terms t
+  LEFT JOIN cm2 ON t.term_norm = cm2.term_norm
+  LEFT JOIN idx2 i ON t.term_norm = i.term_norm
+),
+toks AS (
+  SELECT term_norm, unnest(string_split(term_norm, ' ')) AS tok
+  FROM j2 WHERE cm_curie IS NULL AND ex_curie IS NULL
+),
+itoks AS (
+  SELECT curie AS p_curie, label AS p_label, category AS p_category,
+         term_norm AS p_norm, unnest(string_split(term_norm, ' ')) AS tok
+  FROM idx2 WHERE length(label) > 2
+),
+cand AS (
+  SELECT DISTINCT t.term_norm, i.p_curie, i.p_label, i.p_category, i.p_norm
+  FROM (SELECT * FROM toks WHERE length(tok) > 0) t JOIN itoks i USING (tok)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY term_norm
+      ORDER BY len(list_intersect(list_distinct(string_split(term_norm, '')),
+                                  list_distinct(string_split(p_norm, '')))) DESC,
+               p_curie ASC) AS rn
+  FROM cand
+),
+partial AS (
+  SELECT term_norm AS pa_norm, p_curie AS pa_curie, p_label AS pa_label, p_category AS pa_category
+  FROM ranked WHERE rn = 1
+)
+SELECT j2.term, j2.term_norm,
+       COALESCE(cm_curie, ex_curie, pa_curie, 'kgmicrobe:' || md5(j2.term_norm)) AS curie,
+       COALESCE(cm_label, ex_label, pa_label, j2.term) AS label,
+       COALESCE(cm_category, ex_category, pa_category, 'biolink:NamedThing') AS category,
+       CASE WHEN cm_curie IS NOT NULL THEN 'curated'
+            WHEN ex_curie IS NOT NULL THEN 'exact'
+            WHEN pa_curie IS NOT NULL THEN 'partial'
+            ELSE 'minted' END AS match_type
+FROM j2 LEFT JOIN partial p ON j2.term_norm = p.pa_norm
+"""
+
+
 def q_resolve_organism(spark, sf_dir):
     """J7/W3 — executes the SHIPPED query (organism.resolve_organism):
     fuzzy name resolution ranked exact > prefix > substring, top-10."""
@@ -1585,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
+        "term_linking": q_term_linking,
     }
 
 
@@ -1632,4 +1737,5 @@ def oracle_sql() -> dict[str, str]:
         "kgx_normalize": _KGX_NORMALIZE_SQL,
         "resolve_organism": _RESOLVE_SQL,
         "node_filters": _NODE_FILTERS_SQL,
+        "term_linking": _TERM_LINKING_SQL,
     }
