@@ -1137,11 +1137,16 @@ def q_binned_traits(spark, sf_dir):
     # ROUND before the long cast on BOTH engines — Spark's double→long cast
     # truncates while DuckDB's rounds, so a bare cast diverges.
     whole = F.round(F.col("value") * 10).cast("long")
+    neg_lo = -(whole % 20 + 6)  # sub-zero range "-17--12 C" → midpoint rule
     trait = (
         F.when(F.col("event_type") == "error", F.lit("unknown"))
         .when(
             F.col("event_type") == "view",
             F.concat((whole % 60).cast("string"), F.lit("-"), (whole % 60 + 10).cast("string"), F.lit(" C")),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(neg_lo.cast("string"), F.lit("-"), (neg_lo + 5).cast("string"), F.lit(" C")),
         )
         .otherwise(F.concat((whole % 90).cast("string"), F.lit("."), (whole % 10).cast("string"), F.lit(" C")))
     )
@@ -1168,6 +1173,9 @@ WITH t AS (
               WHEN event_type = 'view' THEN
                    CAST(CAST(ROUND(value * 10) AS BIGINT) % 60 AS VARCHAR) || '-' ||
                    CAST(CAST(ROUND(value * 10) AS BIGINT) % 60 + 10 AS VARCHAR) || ' C'
+              WHEN event_type = 'click' THEN
+                   CAST(-(CAST(ROUND(value * 10) AS BIGINT) % 20 + 6) AS VARCHAR) || '-' ||
+                   CAST(-(CAST(ROUND(value * 10) AS BIGINT) % 20 + 6) + 5 AS VARCHAR) || ' C'
               ELSE CAST(CAST(ROUND(value * 10) AS BIGINT) % 90 AS VARCHAR) || '.' ||
                    CAST(CAST(ROUND(value * 10) AS BIGINT) % 10 AS VARCHAR) || ' C'
          END AS trait
@@ -1175,13 +1183,13 @@ WITH t AS (
 ),
 parsed AS (
   SELECT trait,
-         CASE WHEN regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([0-9]+(?:\\.[0-9]+)?)', 1) <> ''
+         CASE WHEN regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) <> ''
               THEN (TRY_CAST(regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
-                    + TRY_CAST(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)) / 2.0
+                    + TRY_CAST(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?\\s*-\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)) / 2.0
               ELSE TRY_CAST(regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
          END AS value,
          CASE WHEN regexp_extract(trait, '^\\s*([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) = '' THEN NULL
-              ELSE trim(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?(?:\\s*-\\s*[0-9]+(?:\\.[0-9]+)?)?\\s*(.*)$', 1))
+              ELSE trim(regexp_extract(trait, '^\\s*[+-]?[0-9]+(?:\\.[0-9]+)?(?:\\s*-\\s*[+-]?[0-9]+(?:\\.[0-9]+)?)?\\s*(.*)$', 1))
          END AS unit
   FROM t
 ),

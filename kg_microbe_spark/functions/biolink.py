@@ -114,7 +114,11 @@ def load_is_a_from_yaml(path: str) -> Dict[str, Optional[str]]:
         schema = yaml.safe_load(f)
 
     def _pascal(name: str) -> str:
-        return "".join(w.capitalize() for w in name.split())
+        # Preserve uppercase runs so acronym classes keep their casing
+        # ('RNA product' -> 'RNAProduct', not 'RnaProduct') — otherwise
+        # depths keyed on the mangled name never match emitted categories
+        # and silently fail open to -1.
+        return "".join(w if w.isupper() else w.capitalize() for w in name.split())
 
     out: Dict[str, Optional[str]] = {}
     for cname, cdef in (schema.get("classes") or {}).items():

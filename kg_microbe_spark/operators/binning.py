@@ -26,11 +26,13 @@ from pyspark.sql import functions as F
 # Same pattern text on the Spark and DuckDB sides (RE2-safe: no
 # lookarounds, non-capturing groups only — see docs/ORACLE notes).
 _NUM_RE = r"^\s*([+-]?[0-9]+(?:\.[0-9]+)?)"
-_UNIT_RE = r"^\s*[+-]?[0-9]+(?:\.[0-9]+)?(?:\s*-\s*[0-9]+(?:\.[0-9]+)?)?\s*(.*)$"
+_UNIT_RE = r"^\s*[+-]?[0-9]+(?:\.[0-9]+)?(?:\s*-\s*[+-]?[0-9]+(?:\.[0-9]+)?)?\s*(.*)$"
 
 # A range value may also be "lo-hi unit" (metatraits.py:1545-1560 takes the
-# midpoint); the optional second number is captured separately.
-_RANGE_HI_RE = r"^\s*[+-]?[0-9]+(?:\.[0-9]+)?\s*-\s*([0-9]+(?:\.[0-9]+)?)"
+# midpoint); the optional second number is captured separately. The hi
+# capture allows a sign so sub-zero ranges like '-10--5 C' (psychrophile
+# temperatures) parse to the midpoint -7.5 rather than falling back to lo.
+_RANGE_HI_RE = r"^\s*[+-]?[0-9]+(?:\.[0-9]+)?\s*-\s*([+-]?[0-9]+(?:\.[0-9]+)?)"
 
 
 def parse_value_col(s: Column) -> Column:

@@ -31,10 +31,15 @@ def json_path_values(col: Column, path: str, elem_type: str = "string") -> Colum
     the leading ``$.``)."""
     node = F.get_json_object(col, f"$.{path}")
     as_array = F.from_json(node, f"array<{elem_type}>")
-    as_scalar = F.from_json(F.concat(F.lit("["), node, F.lit("]")), f"array<{elem_type}>")
+    # get_json_object returns scalars UNQUOTED, so a from_json round-trip is
+    # malformed for string leaves ("hello" -> [hello] is not JSON); a plain
+    # cast is the identity for strings and correct for numerics. Object
+    # leaves ({...}) are non-scalar — the reference skips them.
+    as_scalar = F.array(node.cast(elem_type))
     arr = (
         F.when(node.isNull(), F.array().cast(f"array<{elem_type}>"))
         .when(node.startswith("["), as_array)
+        .when(node.startswith("{"), F.array().cast(f"array<{elem_type}>"))
         .otherwise(as_scalar)
     )
     return F.filter(F.coalesce(arr, F.array().cast(f"array<{elem_type}>")), lambda x: x.isNotNull())

@@ -29,16 +29,21 @@ def fetch_json_records(
     fetcher: Callable[[str], str],
     id_col: str = "id",
     url_col: str = "url",
-    max_retries: int = 3,
+    max_attempts: int = 3,
     backoff_sec: float = 0.5,
     max_partitions: Optional[int] = None,
     sleeper: Callable[[float], None] = time.sleep,
 ) -> DataFrame:
     """endpoints(id, url, …) → (id, url, body|NULL, error|NULL, attempts).
 
-    Retries with exponential backoff; a row that exhausts retries carries
-    the final error string instead of raising (fail-open error channel,
-    like the reference logging-and-continuing on bad ids)."""
+    ``max_attempts`` is the TOTAL number of tries (first call + retries)
+    and must be >= 1 — with 0 the attempt loop would never run and emit a
+    body=NULL/error=NULL row indistinguishable from a legitimate null-body
+    success. Retries back off exponentially; a row that exhausts attempts
+    carries the final error string instead of raising (fail-open error
+    channel, like the reference logging-and-continuing on bad ids)."""
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     df = endpoints.select(id_col, url_col)
     if max_partitions is not None:
         df = df.coalesce(max_partitions)
@@ -50,7 +55,7 @@ def fetch_json_records(
             ids, urls, bodies, errors, attempts = [], [], [], [], []
             for rid, url in zip(pdf[id_col], pdf[url_col]):
                 body, err, tries = None, None, 0
-                for attempt in range(1, max_retries + 1):
+                for attempt in range(1, max_attempts + 1):
                     tries = attempt
                     try:
                         body = fetcher(url)
@@ -58,7 +63,7 @@ def fetch_json_records(
                         break
                     except Exception as e:  # noqa: BLE001 — error channel by contract
                         err = f"{type(e).__name__}: {e}"
-                        if attempt < max_retries:
+                        if attempt < max_attempts:
                             sleeper(backoff_sec * (2 ** (attempt - 1)))
                 ids.append(rid)
                 urls.append(url)

@@ -75,10 +75,17 @@ def write_neo4j_bulk(
     node_props: Sequence[str] = ("name", "description"),
     edge_props: Sequence[str] = ("relation", "primary_knowledge_source"),
 ) -> None:
-    """S14: neo4j-admin bulk-import CSV layout — nodes/ and edges/ part
-    directories with typed import headers. Distributed end to end; the
-    header row rides in the column NAMES so every part is independently
-    consumable by neo4j-admin's multi-file input (nodes/part-*.csv)."""
+    """S14: neo4j-admin bulk-import CSV layout — the STANDARD split-header
+    form: one driver-written single-line header file per entity plus
+    HEADERLESS distributed data parts, consumed as
+
+        neo4j-admin database import full \\
+          --nodes=nodes_header.csv,nodes/part-.* \\
+          --relationships=edges_header.csv,edges/part-.*
+
+    (With the common single-argument regex invocation, a header baked into
+    every part would only be honored for the first file and imported as
+    bogus data rows from every other part — hence the split layout.)"""
     n = nodes.select(
         F.col("id").alias("id:ID"),
         F.regexp_replace(F.coalesce(F.col(node_label_col), F.lit("NamedThing")), "^biolink:", "").alias(":LABEL"),
@@ -90,5 +97,9 @@ def write_neo4j_bulk(
         F.regexp_replace(F.col(rel_type_col), "^biolink:", "").alias(":TYPE"),
         *[F.col(c) for c in edge_props if c in edges.columns],
     )
-    n.write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, "nodes"))
-    e.write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, "edges"))
+    n.write.mode("overwrite").option("header", "false").csv(os.path.join(out_dir, "nodes"))
+    e.write.mode("overwrite").option("header", "false").csv(os.path.join(out_dir, "edges"))
+    os.makedirs(out_dir, exist_ok=True)
+    for fname, cols in (("nodes_header.csv", n.columns), ("edges_header.csv", e.columns)):
+        with open(os.path.join(out_dir, fname), "w") as f:
+            f.write(",".join(cols) + "\n")

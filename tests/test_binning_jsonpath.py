@@ -28,7 +28,8 @@ def _parse_all(spark, vals):
 def test_parse_quantitative_values(spark):
     got = _parse_all(
         spark,
-        ["37.5 C", "10-20 %", "  -5 pH", "7", "unknown", "", "3.5-4.5", "12 g/L extra"],
+        ["37.5 C", "10-20 %", "  -5 pH", "7", "unknown", "", "3.5-4.5", "12 g/L extra",
+         "-10--5 C", "-2.5-4 C"],
     )
     assert got[0] == (37.5, 37.5, "C")
     assert got[1] == (10.0, 15.0, "%")          # range → midpoint, unit past the range
@@ -38,6 +39,8 @@ def test_parse_quantitative_values(spark):
     assert got[5] == (None, None, None)
     assert got[6] == (3.5, 4.0, "")
     assert got[7] == (12.0, 12.0, "g/L extra")
+    assert got[8] == (-10.0, -7.5, "C")          # sub-zero range: signed hi → midpoint
+    assert got[9] == (-2.5, 0.75, "C")           # negative lo, positive hi
 
 
 def test_classify_binned_half_open_and_fail_open(spark):
@@ -71,6 +74,24 @@ def test_json_path_scalar_list_and_missing(spark):
     df = spark.createDataFrame([(d,) for d in docs], "j string")
     got = [r.vs for r in df.select(json_path_values(F.col("j"), "a.b", "bigint").alias("vs")).collect()]
     assert got == [[1, 2, 3], [7], [], [], []]
+
+
+def test_json_path_string_scalars_and_object_leaves(spark):
+    # get_json_object returns scalars UNQUOTED: a from_json round-trip on a
+    # string leaf is malformed JSON and silently yields [] — the operator
+    # must return the scalar itself (reference default elem_type is string).
+    docs = [
+        '{"a": {"b": "hello"}}',
+        '{"a": {"b": ["x", "y"]}}',
+        '{"a": {"b": 5}}',
+        '{"a": {"b": {"nested": 1}}}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    got = [r.vs for r in df.select(json_path_values(F.col("j"), "a.b").alias("vs")).collect()]
+    assert got[0] == ["hello"]       # string scalar survives (ADVICE r2 fix)
+    assert got[1] == ["x", "y"]
+    assert got[2] == ["5"]           # numeric scalar as default string type
+    assert got[3] == []              # object leaf is non-scalar → skipped like the reference
 
 
 def test_json_path_list_of_objects_via_star(spark):

@@ -48,3 +48,22 @@ def test_consolidation_uses_derived_depths(spark):
         "biolink:Enzyme",
         "biolink:Pathway",
     ]
+
+
+def test_yaml_loader_preserves_acronyms(tmp_path):
+    # 'RNA product' must become biolink:RNAProduct (not RnaProduct) or its
+    # depth is keyed on a name no emitted category ever matches (ADVICE r2).
+    from kg_microbe_spark.functions.biolink import load_is_a_from_yaml
+
+    y = tmp_path / "biolink-model.yaml"
+    y.write_text(
+        "classes:\n"
+        "  named thing: {}\n"
+        "  RNA product:\n"
+        "    is_a: named thing\n"
+        "  small molecule:\n"
+        "    is_a: named thing\n"
+    )
+    parents = load_is_a_from_yaml(str(y))
+    assert parents["biolink:RNAProduct"] == "biolink:NamedThing"
+    assert parents["biolink:SmallMolecule"] == "biolink:NamedThing"

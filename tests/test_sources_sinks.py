@@ -79,15 +79,20 @@ def test_write_neo4j_bulk_headers(spark, tmp_path):
     out = str(tmp_path / "neo")
     write_neo4j_bulk(nodes, edges, out)
     def _read_all(sub):
+        # Standard neo4j-admin split-header layout: ONE single-line header
+        # file + headerless data parts (a header row inside each part would
+        # be imported as bogus data under the regex-style invocation).
+        with open(os.path.join(out, f"{sub}_header.csv")) as f:
+            header_lines = f.read().splitlines()
+        assert len(header_lines) == 1
         parts = sorted(glob.glob(os.path.join(out, sub, "part-*.csv")))
         assert parts
-        headers, body = set(), ""
+        body = ""
         for p in parts:
             with open(p) as f:
-                headers.add(f.readline().strip())
                 body += f.read()
-        assert len(headers) == 1  # every part independently consumable
-        return headers.pop(), body
+        assert header_lines[0] not in body  # parts are headerless
+        return header_lines[0], body
 
     header, nbody = _read_all("nodes")
     assert header.split(",")[:2] == ["id:ID", ":LABEL"]
@@ -121,9 +126,17 @@ def test_rest_source_retry_and_error_channel(spark):
     out = {
         r.id: (r.body, r.error, r.attempts)
         for r in fetch_json_records(
-            eps, fetcher, max_retries=3, backoff_sec=0.0, max_partitions=1
+            eps, fetcher, max_attempts=3, backoff_sec=0.0, max_partitions=1
         ).collect()
     }
     assert out["a"] == ('{"ok": 1}', None, 1)
     assert out["b"][0] == '{"ok": 2}' and out["b"][1] is None and out["b"][2] == 2
     assert out["c"][0] is None and "always down" in out["c"][1] and out["c"][2] == 3
+
+
+def test_rest_source_rejects_zero_attempts(spark):
+    import pytest
+
+    eps = spark.createDataFrame([("a", "http://x/a")], "id string, url string")
+    with pytest.raises(ValueError, match="max_attempts"):
+        fetch_json_records(eps, lambda u: "{}", max_attempts=0)
