@@ -53,6 +53,15 @@ def _cents(col) -> F.Column:
 
 KG_STOPWORDS = ("the", "a", "of", "and")  # P10 exclusion list
 
+# Per-doc distinct-mention cap: the in-row pair fan-out is
+# (|taxa|×|chem| + |env|×|taxa|) per doc, so one pathological page (e.g.
+# 10^6 distinct words) would emit ~10^11 structs from a single row — an
+# executor OOM no shuffle tuning can fix. Capping the sorted mention set
+# bounds the worst row at ~2·(CAP/3)² pairs; 512 is far above any real
+# page's distinct-entity count, so normal docs are unaffected (the sf0.01
+# oracle gate proves it: results are identical with the cap mirrored).
+MENTION_CAP = 512
+
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship KG co-occurrence triples — scale-safe round-2 plan.
@@ -79,12 +88,16 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     ).filter((F.col("word") != "") & ~F.col("word").isin(list(KG_STOPWORDS)))
     per_doc = words.groupBy("doc_id", "source").agg(F.collect_set("word").alias("ws"))
+    # Deterministic per-doc cap BEFORE the crosses (sort so which mentions
+    # survive is stable and oracle-mirrorable), bounding the worst-row
+    # fan-out — see MENTION_CAP.
+    ws = F.slice(F.sort_array(F.col("ws")), 1, MENTION_CAP)
     # only two of the nine category pairings carry a predicate — build those
     # crosses in-row (per-category arrays first) instead of exploding all
     # pairs and filtering 7/9 of them away afterwards.
-    tax = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 0)
-    chem = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 1)
-    env = F.filter(F.col("ws"), lambda w: F.length(w) % 3 == 2)
+    tax = F.filter(ws, lambda w: F.length(w) % 3 == 0)
+    chem = F.filter(ws, lambda w: F.length(w) % 3 == 1)
+    env = F.filter(ws, lambda w: F.length(w) % 3 == 2)
 
     def _cross(a, b, pred):
         return F.flatten(
@@ -118,11 +131,18 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KG_TRIPLES_SQL = """
-WITH words AS (
+WITH words_all AS (
   SELECT DISTINCT doc_id, source, word FROM (
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
     FROM documents WHERE lang = 'en'
   ) WHERE word <> '' AND word NOT IN ('the', 'a', 'of', 'and')
+),
+capped AS (  -- mirror of the Spark side's sorted per-doc MENTION_CAP slice
+  SELECT doc_id, source, (list_sort(list(word)))[1:512] AS ws
+  FROM words_all GROUP BY 1, 2
+),
+words AS (
+  SELECT doc_id, source, unnest(ws) AS word FROM capped
 ),
 pairs AS (
   SELECT a.doc_id, a.source, a.word AS sw, b.word AS ow
@@ -646,23 +666,16 @@ GROUP BY doc_id
 
 def q_ngram_jaccard_docs(spark, sf_dir):
     """Exact word-3-gram Jaccard for doc pairs sharing a (cheap) blocking
-    key: the single-perm minhash — LSH-style candidate restriction."""
+    key: the single-perm minhash — LSH-style candidate restriction.
+    Executes the SHIPPED ``ngram_jaccard_pairs`` with ``bucket_col`` (the
+    guarded union==0 form), so entry and operator cannot drift."""
+    from kg_microbe_spark.operators.dedup import ngram_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).filter(F.col("w") != "")
     mh = words.groupBy("doc_id").agg(F.min(F.md5("w")).alias("mh"))
-    from kg_microbe_spark.operators.dedup import shingles_col
-
-    sh = d.select("doc_id", F.array_distinct(shingles_col(F.col("text"), 3)).alias("sh"))
-    base = sh.join(mh, "doc_id")
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "mh")
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "mh")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        a.join(b, "mh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard"))
-    )
+    pairs = ngram_jaccard_pairs(d.join(mh, "doc_id"), "doc_id", "text", shingle_n=3, bucket_col="mh")
+    return pairs.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
 _NGRAM_JACCARD_SQL = """
@@ -683,7 +696,8 @@ sh AS (
 base AS (SELECT sh.doc_id, sh.sh, mh.mh FROM sh JOIN mh ON sh.doc_id = mh.doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1
+                     ELSE len(list_distinct(list_concat(a.sh, b.sh))) END), 6) AS jaccard
 FROM base a JOIN base b ON a.mh = b.mh AND a.doc_id < b.doc_id
 """
 
@@ -1645,6 +1659,445 @@ LIMIT 10
 
 
 # ===========================================================================
+# Round-3 driver entries: the real automaton mention-scan path (N2), P7
+# apply_threshold, F13 category consolidation, W4 name-index rank rule,
+# J9 xref routing, F4 sanitize tables, S11 sink round-trip.
+# ===========================================================================
+
+
+def q_mention_scan(spark, sf_dir):
+    """N2 — executes the SHIPPED automaton mention-scan path end to end:
+    ``scan_mentions`` (FirstWordIndex dictionary matcher with MULTI-WORD
+    patterns, word boundaries, leftmost-longest) → ``aggregate_mentions``
+    (A8 distinct-mention batching) → ``link_mentions`` (broadcast lexicon
+    join). Reference: ner_utils.py:99-124 + bacdive.py:224-321.
+
+    Fixture design makes the oracle exact by construction: the lexicon is
+    2-word part names (partkey<=200) plus 1-word first-word prefixes
+    (partkey<=50); page text embeds, per lineitem, the full name and its
+    first word, separated by non-lexicon filler tokens (qqs/qqd/qqf/qqe).
+    Every maximal name-word run is therefore either a full name (whose
+    2-word term is always in the lexicon, so leftmost-LONGEST suppresses
+    the 1-word prefix inside it) or a standalone first word (matched iff
+    it is a lexicon term) — so expected counts are derivable relationally
+    while the Spark side genuinely scans text through the automaton."""
+    from kg_microbe_spark.operators.linking import link_mentions
+    from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions
+
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    pk = F.col("p_partkey")
+    full = p.filter(pk <= 200).select(F.lower("p_name").alias("term_norm"), pk.alias("pk"))
+    pref = p.filter(pk <= 50).select(
+        F.split(F.lower("p_name"), " ").getItem(0).alias("term_norm"),
+        (pk + 100000).alias("pk"),
+    )
+    lex = (
+        full.unionByName(pref)
+        .groupBy("term_norm")
+        .agg(F.min("pk").alias("pk"))
+        .select(
+            "term_norm",
+            F.concat(F.lit("PART:"), F.col("pk").cast("string")).alias("curie"),
+            F.col("term_norm").alias("label"),
+            F.lit("biolink:NamedThing").alias("category"),
+            F.lit(0).alias("rank"),
+        )
+    )
+    pf = p.filter(pk <= 200).select(pk.alias("ipk"), F.lower("p_name").alias("pname"))
+    items = li.join(pf, li["l_partkey"] == pf["ipk"]).select(
+        "l_orderkey",
+        F.concat(F.col("pname"), F.lit(" qqf "), F.split("pname", " ").getItem(0)).alias("frag"),
+    )
+    pages = (
+        items.groupBy("l_orderkey")
+        .agg(F.concat(F.lit("qqs "), F.concat_ws(" qqd ", F.collect_list("frag")), F.lit(" qqe")).alias("text"))
+        .select(F.concat(F.lit("page:"), F.col("l_orderkey").cast("string")).alias("url"), "text")
+    )
+    mentions = scan_mentions(pages, lex)
+    linked = link_mentions(aggregate_mentions(mentions), lex)
+    return linked.select("url", "term_norm", "curie", "n_mentions")
+
+
+_MENTION_SCAN_SQL = """
+WITH full_terms AS (
+  SELECT lower(p_name) AS term_norm, p_partkey AS pk FROM part WHERE p_partkey <= 200
+),
+pref_terms AS (
+  SELECT (string_split(lower(p_name), ' '))[1] AS term_norm, p_partkey + 100000 AS pk
+  FROM part WHERE p_partkey <= 50
+),
+lex AS (
+  SELECT term_norm, 'PART:' || CAST(MIN(pk) AS VARCHAR) AS curie
+  FROM (SELECT * FROM full_terms UNION ALL SELECT * FROM pref_terms)
+  GROUP BY term_norm
+),
+items AS (
+  SELECT l.l_orderkey AS okey, lower(p.p_name) AS full_term,
+         (string_split(lower(p.p_name), ' '))[1] AS pref_word
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_partkey <= 200
+),
+embeds AS (
+  SELECT okey, full_term AS term FROM items
+  UNION ALL
+  SELECT okey, pref_word FROM items
+),
+counted AS (
+  SELECT 'page:' || CAST(e.okey AS VARCHAR) AS url, e.term AS term_norm,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM embeds e JOIN lex x ON e.term = x.term_norm
+  GROUP BY 1, 2
+)
+SELECT c.url, c.term_norm, x.curie, c.n_mentions
+FROM counted c JOIN lex x ON c.term_norm = x.term_norm
+"""
+
+
+def q_apply_threshold(spark, sf_dir):
+    """P7 row-filter side of calibration — executes the SHIPPED
+    ``build_cutoffs`` + ``apply_threshold`` (operators/calibration.py;
+    reference calibration.py:288-312): continuous channel compares bin
+    indices against per-resource cutoffs, flat channels carry constant
+    star tiers (genomes 4.0, literature 3.0) compared against tau, and
+    unrecognized channels are KEPT with star null (fail open, B7)."""
+    from kg_microbe_spark.operators.calibration import apply_threshold, bin_index_col, build_cutoffs
+    from kg_microbe_spark.operators.triples import (
+        CHANNEL_ENVIRONMENTAL,
+        CHANNEL_GENOMES,
+        CHANNEL_LITERATURE,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("event_type").alias("primary_knowledge_source"),
+        F.col("value").alias("score"),
+        F.when(F.col("event_type").isin("view", "click"), F.lit(CHANNEL_ENVIRONMENTAL))
+        .when(F.col("event_type") == "purchase", F.lit(CHANNEL_GENOMES))
+        .when(F.col("event_type") == "signup", F.lit(CHANNEL_LITERATURE))
+        .otherwise(F.lit("mystery_channel"))
+        .alias("channel"),
+    )
+    cutoffs = build_cutoffs(edges, tau=3.0)
+    kept = apply_threshold(edges, cutoffs, tau=3.0)
+    return kept.groupBy("channel", "star").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(bin_index_col(F.col("score"))).alias("sum_bin"),
+    )
+
+
+# bin(x) mirrors calibration.bin_index_col (F7 guard, 1e-4 width, 40099 clamp).
+_APPLY_THRESHOLD_SQL = """
+WITH edges AS (
+  SELECT event_type AS resource, value AS score,
+         CASE WHEN event_type IN ('view', 'click') THEN 'environmental_samples'
+              WHEN event_type = 'purchase' THEN 'genomes_isolates'
+              WHEN event_type = 'signup' THEN 'literature'
+              ELSE 'mystery_channel' END AS channel
+  FROM events
+),
+hist AS (
+  SELECT resource,
+         LEAST(CAST(FLOOR((CASE WHEN score IS NULL OR isnan(score) OR score <= 0
+                                THEN 0.0 ELSE score END) / 1e-4) AS BIGINT), 40099) AS bin,
+         COUNT(*) AS cnt
+  FROM edges WHERE channel = 'environmental_samples' GROUP BY 1, 2
+),
+cum AS (
+  SELECT resource, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY resource ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY resource) AS n
+  FROM hist
+),
+cut AS (
+  SELECT resource, MIN(bin) AS cutoff_bin FROM cum WHERE cum >= (3.0 / 4.0) * n GROUP BY 1
+),
+kept AS (
+  SELECT e.channel,
+         CASE WHEN e.channel = 'genomes_isolates' THEN CAST(4.0 AS DOUBLE)
+              WHEN e.channel = 'literature' THEN CAST(3.0 AS DOUBLE) END AS star,
+         LEAST(CAST(FLOOR((CASE WHEN e.score IS NULL OR isnan(e.score) OR e.score <= 0
+                                THEN 0.0 ELSE e.score END) / 1e-4) AS BIGINT), 40099) AS b
+  FROM edges e LEFT JOIN cut c ON e.resource = c.resource
+  WHERE e.channel <> 'environmental_samples'
+     OR LEAST(CAST(FLOOR((CASE WHEN e.score IS NULL OR isnan(e.score) OR e.score <= 0
+                               THEN 0.0 ELSE e.score END) / 1e-4) AS BIGINT), 40099)
+        >= COALESCE(c.cutoff_bin, 0)
+)
+SELECT channel, star, COUNT(*) AS n_kept, CAST(SUM(b) AS BIGINT) AS sum_bin
+FROM kept GROUP BY 1, 2
+"""
+
+
+_CONS_CATS = [
+    "biolink:NamedThing",
+    "biolink:ChemicalEntity",
+    "biolink:SmallMolecule",
+    "biolink:Drug",
+    "biolink:OrganismTaxon",
+    "biolink:UnlistedThing",
+    "biolink:AnotherUnlisted",
+]
+
+
+def q_consolidate_category(spark, sf_dir):
+    """F13 — executes the SHIPPED ``consolidate_category_col``
+    (operators/kgx_schema.py; reference consolidate_categories.py:23-168):
+    pipe-joined multi-category cells → single most-specific category by
+    BFS-derived biolink depth (max depth, lexicographic tiebreak; unknown
+    categories depth -1, all-unknown cells fail open to sorted-first)."""
+    from kg_microbe_spark.operators.kgx_schema import consolidate_category_col
+
+    p = _t(spark, sf_dir, "part")
+    cats = F.array(*[F.lit(c) for c in _CONS_CATS])
+    k = F.col("p_partkey")
+    cell = F.concat_ws(
+        "|",
+        F.element_at(cats, (k % 7 + 1).cast("int")),
+        F.element_at(cats, (k * 3 % 7 + 1).cast("int")),
+        F.element_at(cats, (k * 5 % 7 + 1).cast("int")),
+    )
+    df = p.select(cell.alias("cell"))
+    return (
+        df.select("cell", consolidate_category_col(F.col("cell")).alias("category"))
+        .groupBy("cell", "category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _consolidate_sql() -> str:
+    """Oracle generated from the SAME BFS-derived depth map the operator
+    uses (deterministic Python dict → VALUES table)."""
+    from kg_microbe_spark.operators.kgx_schema import BIOLINK_CATEGORY_DEPTH
+
+    cat_list = ", ".join(f"'{c}'" for c in _CONS_CATS)
+    depth_rows = ", ".join(
+        f"('{c}', {BIOLINK_CATEGORY_DEPTH.get(c, -1)})" for c in _CONS_CATS
+    )
+    return f"""
+WITH cells AS (
+  SELECT ([{cat_list}])[CAST(p_partkey % 7 AS INT) + 1] || '|' ||
+         ([{cat_list}])[CAST(p_partkey * 3 % 7 AS INT) + 1] || '|' ||
+         ([{cat_list}])[CAST(p_partkey * 5 % 7 AS INT) + 1] AS cell
+  FROM part
+),
+cell_counts AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY 1),
+depths(cat, depth) AS (VALUES {depth_rows}),
+exploded AS (
+  SELECT cell, unnest(string_split(cell, '|')) AS cat
+  FROM (SELECT DISTINCT cell FROM cell_counts)
+),
+ranked AS (
+  SELECT e.cell, e.cat, COALESCE(d.depth, -1) AS depth,
+         ROW_NUMBER() OVER (PARTITION BY e.cell
+                            ORDER BY COALESCE(d.depth, -1) DESC, e.cat ASC) AS rn
+  FROM exploded e LEFT JOIN depths d ON e.cat = d.cat
+)
+SELECT c.cell, r.cat AS category, c.n
+FROM cell_counts c JOIN ranked r ON r.cell = c.cell AND r.rn = 1
+"""
+
+
+def q_name_index(spark, sf_dir):
+    """W4 + P5 + P10 — executes the SHIPPED ``build_name_index``
+    (operators/lexicon.py; reference chemical_mapping_utils.py:229-262):
+    canonical label (rank 0) beats synonym (rank 1) at the same term,
+    ties break on min curie, deprecated rows never index (P5), stopword
+    terms are excluded (P10). Fixture strings are lowercase ASCII so F1
+    normalization is the identity and the rank rule is the only logic
+    under test."""
+    from kg_microbe_spark.operators.lexicon import build_name_index
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    k = F.col("p_partkey")
+    nxt = p.select((k - 1).alias("pk2"), F.lower("p_name").alias("next_name"))
+    base = p.join(nxt, p["p_partkey"] == nxt["pk2"], "left")
+    lex = base.select(
+        F.concat(F.lit("X:"), F.lpad(k.cast("string"), 4, "0")).alias("curie"),
+        F.lower("p_name").alias("label"),
+        F.array(
+            F.concat(F.lit("syn "), F.lower("p_name")),
+            F.concat(F.lit("shared term "), (k % 7).cast("string")),
+            F.coalesce(F.col("next_name"), F.lit("zz none")),
+        ).alias("synonyms"),
+        F.lit("biolink:NamedThing").alias("category"),
+        F.array().cast("array<string>").alias("xrefs"),
+        (k % 10 == 0).alias("deprecated"),
+    )
+    idx = build_name_index(lex, stopwords=["shared term 3"])
+    return idx.select("term_norm", "curie", "rank")
+
+
+_NAME_INDEX_SQL = """
+WITH p0 AS (
+  SELECT p_partkey AS k, lower(p_name) AS name FROM part WHERE p_partkey < 400
+),
+lex AS (
+  SELECT k, 'X:' || lpad(CAST(k AS VARCHAR), 4, '0') AS curie, name AS label
+  FROM p0 WHERE k % 10 <> 0
+),
+surf AS (
+  SELECT curie, label AS term, 0 AS rank FROM lex
+  UNION ALL
+  SELECT curie, 'syn ' || label, 1 FROM lex
+  UNION ALL
+  SELECT curie, 'shared term ' || CAST(k % 7 AS VARCHAR), 1 FROM lex
+  UNION ALL
+  SELECT l.curie, COALESCE(p1.name, 'zz none'), 1
+  FROM lex l LEFT JOIN p0 p1 ON p1.k = l.k + 1
+),
+ranked AS (
+  SELECT term, curie, rank,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY rank ASC, curie ASC) AS rn
+  FROM surf WHERE term <> 'shared term 3'
+)
+SELECT term AS term_norm, curie, rank FROM ranked WHERE rn = 1
+"""
+
+
+def q_xref_routing(spark, sf_dir):
+    """J9 — executes the SHIPPED ``build_xref_routing`` +
+    ``canonicalize_entities`` (operators/lexicon.py, linking.py; reference
+    prego.py:408-427): SECONDARY curies reroute through their first xref
+    to the canonical curie/label, then mentions re-aggregate per
+    (url, curie) with summed counts."""
+    from kg_microbe_spark.operators.lexicon import build_xref_routing
+    from kg_microbe_spark.operators.linking import canonicalize_entities
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    canon = c.filter(ck < 50).select(
+        F.concat(F.lit("CHEBI:"), ck.cast("string")).alias("curie"),
+        F.lower("c_name").alias("label"),
+        F.lit("biolink:ChemicalEntity").alias("category"),
+        F.array().cast("array<string>").alias("xrefs"),
+        F.lit(False).alias("deprecated"),
+    )
+    sec = c.filter((ck >= 50) & (ck < 150)).select(
+        F.concat(F.lit("SECONDARY:"), ck.cast("string")).alias("curie"),
+        F.lower("c_name").alias("label"),
+        F.lit("biolink:ChemicalEntity").alias("category"),
+        F.array(F.concat(F.lit("CHEBI:"), (ck % 50).cast("string"))).alias("xrefs"),
+        F.lit(False).alias("deprecated"),
+    )
+    routing = build_xref_routing(canon.unionByName(sec))
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    linked = o.select(
+        F.concat(F.lit("u"), (ok % 200).cast("string")).alias("url"),
+        F.when(ok % 2 == 0, F.concat(F.lit("SECONDARY:"), (ok % 100 + 50).cast("string")))
+        .otherwise(F.concat(F.lit("CHEBI:"), (ok % 50).cast("string")))
+        .alias("curie"),
+        F.concat(F.lit("lbl "), (ok % 100).cast("string")).alias("label"),
+        F.lit("biolink:ChemicalEntity").alias("category"),
+        F.lit(0).alias("rank"),
+        (ok % 5 + 1).alias("n_mentions"),
+    )
+    out = canonicalize_entities(linked, routing)
+    return out.select("url", "curie", "label", "rank", "n_mentions")
+
+
+_XREF_ROUTING_SQL = """
+WITH canon AS (
+  SELECT c_custkey AS k, 'CHEBI:' || CAST(c_custkey AS VARCHAR) AS curie,
+         lower(c_name) AS label
+  FROM customer WHERE c_custkey < 50
+),
+routing AS (
+  SELECT 'SECONDARY:' || CAST(s.c_custkey AS VARCHAR) AS src,
+         'CHEBI:' || CAST(s.c_custkey % 50 AS VARCHAR) AS dst,
+         cn.label AS dst_label
+  FROM customer s JOIN canon cn ON cn.k = s.c_custkey % 50
+  WHERE s.c_custkey >= 50 AND s.c_custkey < 150
+),
+linked AS (
+  SELECT 'u' || CAST(o_orderkey % 200 AS VARCHAR) AS url,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN 'SECONDARY:' || CAST(o_orderkey % 100 + 50 AS VARCHAR)
+              ELSE 'CHEBI:' || CAST(o_orderkey % 50 AS VARCHAR) END AS curie,
+         'lbl ' || CAST(o_orderkey % 100 AS VARCHAR) AS label,
+         0 AS rank, o_orderkey % 5 + 1 AS n
+  FROM orders
+),
+routed AS (
+  SELECT l.url, COALESCE(r.dst, l.curie) AS curie,
+         COALESCE(r.dst_label, l.label) AS label, l.rank, l.n
+  FROM linked l LEFT JOIN routing r ON l.curie = r.src
+)
+SELECT url, curie, MIN(label) AS label, MIN(rank) AS rank,
+       CAST(SUM(n) AS BIGINT) AS n_mentions
+FROM routed GROUP BY 1, 2
+"""
+
+
+def q_sanitize_tables(spark, sf_dir):
+    """F4 — executes the SHIPPED table-sanitization columns
+    (functions/normalize.py sanitize_id_col / sanitize_label_col;
+    reference utils/pandas_utils.py sanitize tables): ids map space→dash
+    and delete \"()#;{} ; labels keep spaces but delete the same
+    punctuation. Customer names carry real '#' characters."""
+    from kg_microbe_spark.functions.normalize import sanitize_id_col, sanitize_label_col
+
+    c = _t(spark, sf_dir, "customer")
+    dirty = F.concat(
+        F.lit("id ("), F.col("c_name"), F.lit(") #"),
+        (F.col("c_custkey") % 10).cast("string"), F.lit("; {x}")
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        sanitize_id_col(dirty).alias("clean_id"),
+        sanitize_label_col(dirty).alias("clean_label"),
+    )
+
+
+_SANITIZE_TABLES_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS custkey,
+         'id (' || c_name || ') #' || CAST(c_custkey % 10 AS VARCHAR) || '; {x}' AS d
+  FROM customer
+)
+SELECT custkey,
+       replace(replace(replace(replace(replace(replace(replace(replace(d,
+         ' ', '-'), '"', ''), '(', ''), ')', ''), '#', ''), ';', ''), '{', ''), '}', '') AS clean_id,
+       replace(replace(replace(replace(replace(replace(replace(d,
+         '"', ''), '(', ''), ')', ''), '#', ''), ';', ''), '{', ''), '}', '') AS clean_label
+FROM dirty
+"""
+
+
+def q_kgx_roundtrip(spark, sf_dir):
+    """S11 sink round-trip — executes the SHIPPED ``write_kgx_tsv`` (sorted
+    distributed TSV parts) then reads the published files back with
+    ``read_tsv`` and returns them; the oracle recomputes the frame
+    relationally, so the row survives only if the sink+source round-trip
+    is lossless. Reference: the Makefile merge → merged-kg TSV publish."""
+    import tempfile
+
+    from kg_microbe_spark.sources.io import read_tsv, write_kgx_tsv
+
+    n = _t(spark, sf_dir, "nation")
+    nodes = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lower("n_name").alias("name"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "kgx_roundtrip_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_kgx_tsv(nodes, out, sort_by=["id"])
+    return read_tsv(spark, out).select("id", "name", "category")
+
+
+_KGX_ROUNDTRIP_SQL = """
+SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS id, lower(n_name) AS name,
+       'biolink:OrganismTaxon' AS category
+FROM nation
+"""
+
+
+# ===========================================================================
 # Contract functions
 # ===========================================================================
 
@@ -1698,6 +2151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
+        "mention_scan": q_mention_scan,
+        "apply_threshold": q_apply_threshold,
+        "consolidate_category": q_consolidate_category,
+        "name_index": q_name_index,
+        "xref_routing": q_xref_routing,
+        "sanitize_tables": q_sanitize_tables,
+        "kgx_roundtrip": q_kgx_roundtrip,
     }
 
 
@@ -1746,4 +2206,11 @@ def oracle_sql() -> dict[str, str]:
         "resolve_organism": _RESOLVE_SQL,
         "node_filters": _NODE_FILTERS_SQL,
         "term_linking": _TERM_LINKING_SQL,
+        "mention_scan": _MENTION_SCAN_SQL,
+        "apply_threshold": _APPLY_THRESHOLD_SQL,
+        "consolidate_category": _consolidate_sql(),
+        "name_index": _NAME_INDEX_SQL,
+        "xref_routing": _XREF_ROUTING_SQL,
+        "sanitize_tables": _SANITIZE_TABLES_SQL,
+        "kgx_roundtrip": _KGX_ROUNDTRIP_SQL,
     }

@@ -91,9 +91,12 @@ def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
 def build_xref_routing(lexicon: DataFrame, secondary_prefix: str = "SECONDARY:") -> DataFrame:
     """J9 xref-routing dimension: SECONDARY curie → canonical curie (first
     xref), with the canonical row's label/category for node emission."""
+    # F.get (not xrefs[0]): ANSI mode throws INVALID_ARRAY_INDEX when
+    # Catalyst constant-folds the extraction on a literal empty array
+    # BEFORE the size(xrefs) > 0 filter prunes the row.
     sec = lexicon.filter(F.col("curie").startswith(secondary_prefix) & (F.size("xrefs") > 0)).select(
         F.col("curie").alias("src_curie"),
-        F.col("xrefs")[0].alias("dst_curie"),
+        F.get(F.col("xrefs"), 0).alias("dst_curie"),
     )
     canon = lexicon.select(
         F.col("curie").alias("dst_curie"),

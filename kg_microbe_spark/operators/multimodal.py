@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (this container has no image/audio libs) behind
-``DecodeNotAvailable`` / a deterministic fake, but the Spark-side plumbing
-is real and tested: schema, Arrow batch shape, ``mapInPandas`` signature,
-partition sizing. Swap ``_decode_image_stub`` for a PIL/libvips call in
-production and nothing else changes.
+The header decode is REAL for PNG/BMP/GIF (``parse_image_header`` reads
+width/height/mime from container bytes, no codec lib needed); pixel-level
+feature extraction stays STUBBED (this container has no image/audio libs)
+behind ``DecodeNotAvailable`` / a deterministic fake. The Spark-side
+plumbing is real and tested: schema, Arrow batch shape, ``mapInPandas``
+signature, partition sizing. Swap ``_decode_image_stub`` for a PIL/libvips
+call in production and nothing else changes.
 """
 
 from __future__ import annotations
@@ -43,12 +45,40 @@ FEATURES_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("feature", ArrayType(DoubleType()), True),
         StructField("decode_status", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
     ]
 )
 
 
 class DecodeNotAvailable(NotImplementedError):
     """Raised by the real decode path when the codec lib is absent."""
+
+
+def parse_image_header(payload: bytes) -> tuple:
+    """REAL dependency-free decode of (mime, width, height) from the
+    container header for PNG / BMP / GIF — the non-stub branch of
+    ``extract_media_features``. Formats whose decode needs a codec lib
+    (JPEG entropy scan, audio/video) raise :class:`DecodeNotAvailable`
+    and fall through to the documented stub.
+    """
+    import struct
+
+    if payload is None or len(payload) < 24:
+        raise DecodeNotAvailable("payload too short for any known header")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory-first: width/height are big-endian u32 at 16/20
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", int(w), int(h))
+    if payload[:2] == b"BM":
+        # BITMAPINFOHEADER: signed LE i32 at 18/22 (height<0 = top-down)
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("image/bmp", int(w), abs(int(h)))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", int(w), int(h))
+    raise DecodeNotAvailable("unrecognized container magic")
 
 
 def _decode_image_stub(payload: bytes) -> list:
@@ -76,9 +106,16 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     def _extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, statuses, nbytes = [], [], []
+            mimes, widths, heights = [], [], []
             for payload in pdf["payload"]:
                 nbytes.append(len(payload) if payload is not None else 0)
+                mime = width = height = None
                 try:
+                    # real branch first: header-parse dims for PNG/BMP/GIF
+                    try:
+                        mime, width, height = parse_image_header(payload)
+                    except DecodeNotAvailable:
+                        pass  # stub feature still applies below
                     feats.append(_decode_image_stub(payload))
                     statuses.append("ok")
                 except DecodeNotAvailable as e:
@@ -87,6 +124,9 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                 except Exception as e:  # noqa: BLE001 — per-row error capture
                     feats.append(None)
                     statuses.append(f"error: {type(e).__name__}")
+                mimes.append(mime)
+                widths.append(width)
+                heights.append(height)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,6 +134,9 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                     "n_bytes": pd.Series(nbytes, dtype="int64"),
                     "feature": feats,
                     "decode_status": statuses,
+                    "mime": pd.Series(mimes, dtype="object"),
+                    "width": pd.Series(widths, dtype="object"),
+                    "height": pd.Series(heights, dtype="object"),
                 }
             )
 

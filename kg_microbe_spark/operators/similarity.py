@@ -126,11 +126,32 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def pairwise_jaccard(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+def pairwise_jaccard(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_item_frequency: int | None = None,
+) -> DataFrame:
     """A4: overlap of item-sets between every pair of keys that share ≥1
-    item (pairs with empty intersections are omitted — they'd be n² rows)."""
-    sets = df.groupBy(key_col).agg(F.collect_set(item_col).alias("items"), F.count_distinct(item_col).alias("n"))
+    item (pairs with empty intersections are omitted — they'd be n² rows).
+
+    Scale guard: the candidate join emits |keys sharing an item|² rows per
+    item, so one hub item present in f keys contributes f² pairs — a
+    ubiquitous item makes the operator quadratic in key count. With
+    ``max_item_frequency=f`` items in more than f keys are dropped from
+    BOTH the intersection and the set sizes (standard stop-item removal:
+    jaccard is then computed over the filtered item space — an explicit,
+    documented approximation; a hub item carries ~0 Jaccard information
+    anyway since it inflates every union equally). The default ``None``
+    keeps exact semantics and is the reference's A4 contract
+    (pandas_utils.py:211-237): DIMENSION-scale inputs (solutions ×
+    ingredients), where all-pairs is genuinely intended."""
     items = df.select(F.col(key_col).alias("k"), F.col(item_col).alias("item")).distinct()
+    if max_item_frequency is not None:
+        freq = items.groupBy("item").agg(F.count("*").alias("_df"))
+        keep = F.broadcast(freq.filter(F.col("_df") <= max_item_frequency).select("item"))
+        items = items.join(keep, "item")
+    sets = items.groupBy("k").agg(F.count("*").alias("n"))
     a = items.select(F.col("k").alias("key_a"), "item")
     b = items.select(F.col("k").alias("key_b"), "item")
     inter = (
@@ -139,8 +160,8 @@ def pairwise_jaccard(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
         .groupBy("key_a", "key_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sets.select(F.col(key_col).alias("key_a"), F.col("n").alias("n_a"))
-    sb = sets.select(F.col(key_col).alias("key_b"), F.col("n").alias("n_b"))
+    sa = sets.select(F.col("k").alias("key_a"), F.col("n").alias("n_a"))
+    sb = sets.select(F.col("k").alias("key_b"), F.col("n").alias("n_b"))
     return (
         inter.join(sa, "key_a")
         .join(sb, "key_b")

@@ -46,7 +46,8 @@ def organism_traits(spark: SparkSession, organism_id: str) -> DataFrame:
     """J4: 1-hop traits = edges LEFT JOIN nodes ON e.object = n.id."""
     return spark.sql(
         """
-        SELECT e.predicate, e.object, n.name AS object_name, n.category AS object_category
+        SELECT e.predicate, e.object, n.name AS object_name, n.category AS object_category,
+               e.primary_knowledge_source
         FROM edges e LEFT JOIN nodes n ON e.object = n.id
         WHERE e.subject = :oid
         ORDER BY e.predicate, e.object
@@ -140,6 +141,112 @@ def environment_chemical_profile(spark: SparkSession, environment_id: str) -> Da
         """,
         args={"eid": environment_id},
     )
+
+
+def media_composition(spark: SparkSession, medium_ids) -> DataFrame:
+    """Ingredients of the given media (the reference's get_media_composition
+    2-hop step, organism_queries.py): medium --has_part--> ingredient.
+    The id list is joined as a DataFrame (never interpolated into SQL)."""
+    ids = spark.createDataFrame([(m,) for m in medium_ids] or [(None,)], "medium_id string").filter(
+        "medium_id IS NOT NULL"
+    )
+    ids.createOrReplaceTempView("_medium_ids")
+    return spark.sql(
+        """
+        SELECT e.subject AS medium_id, e.object AS ingredient_id,
+               n.name AS ingredient_name
+        FROM edges e
+        JOIN _medium_ids m ON e.subject = m.medium_id
+        LEFT JOIN nodes n ON e.object = n.id
+        WHERE e.predicate = 'biolink:has_part'
+        ORDER BY medium_id, ingredient_id
+        """
+    )
+
+
+def query_organism_full(spark: SparkSession, organism_name: str) -> dict:
+    """The reference's user-facing entry point (run.py:124-190 →
+    organism_queries.py:208-253): resolve the name, then run the five SQL
+    shapes in sequence over the merged views and return one result dict.
+
+    Per-organism results are dimension-scale (one taxon's traits/media/
+    strains), so collecting them on the driver for the report is the
+    intended use — the heavy lifting stayed distributed upstream.
+    """
+    hits = resolve_organism(spark, organism_name, limit=1).collect()
+    if not hits:
+        raise ValueError(f"No organism found matching '{organism_name}'")
+    taxon_id, name = hits[0].id, hits[0].name
+
+    traits = organism_traits(spark, taxon_id).collect()
+    media_rows = media_preference(spark, taxon_id).collect()
+    media = {
+        "grows_in": [r for r in media_rows if r.preference == "grows_in"],
+        "no_growth": [r for r in media_rows if r.preference == "no_growth"],
+    }
+    composition = media_composition(spark, [r.medium_id for r in media["grows_in"]]).collect()
+    strains = strain_subclasses(spark, taxon_id).collect()
+
+    sources = set()
+    for r in traits:
+        src = r.primary_knowledge_source
+        if src and ":" in src:
+            sources.add(src.split(":")[0])
+    for r in media_rows:
+        src = r.primary_knowledge_source
+        if src and ":" in src:
+            sources.add(src.split(":")[0])
+
+    return {
+        "taxon_id": taxon_id,
+        "name": name,
+        "traits": traits,
+        "media": media,
+        "composition": composition,
+        "strains": strains,
+        "sources": sorted(sources),
+    }
+
+
+def format_organism_report(result: dict) -> str:
+    """Markdown report over ``query_organism_full`` output (the reference's
+    format_organism_report, query_utils/utils.py:6-120 — same sections,
+    re-expressed)."""
+    lines = [f"# Organism Report: {result['name']} ({result['taxon_id']})", ""]
+
+    traits = result["traits"]
+    if traits:
+        lines += [f"## Traits ({len(traits)})", "", "| Predicate | Value | Source |", "|---|---|---|"]
+        for r in traits:
+            val = r.object_name or r.object
+            if val and len(val) > 50:
+                val = val[:47] + "..."
+            lines.append(f"| {r.predicate} | {val} | {r.primary_knowledge_source or ''} |")
+        lines.append("")
+
+    media = result["media"]
+    for key, title in (("grows_in", "Grows In"), ("no_growth", "No Growth")):
+        rows = media[key]
+        if rows:
+            lines += [f"## Media: {title} ({len(rows)})", ""]
+            lines += [f"- {r.medium_name or r.medium_id} ({r.medium_id})" for r in rows]
+            lines.append("")
+
+    if result["composition"]:
+        lines += [f"## Media Composition ({len(result['composition'])} ingredients)", ""]
+        lines += [
+            f"- {r.medium_id}: {r.ingredient_name or r.ingredient_id}"
+            for r in result["composition"]
+        ]
+        lines.append("")
+
+    if result["strains"]:
+        lines += [f"## Strains ({len(result['strains'])})", ""]
+        lines += [f"- {r.strain_name or r.strain_id} ({r.strain_id})" for r in result["strains"]]
+        lines.append("")
+
+    lines.append(f"**Data sources**: {', '.join(result['sources']) or 'None'}")
+    return "\n".join(lines)
 
 
 def provenance_summary(spark: SparkSession) -> DataFrame:

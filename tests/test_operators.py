@@ -140,6 +140,25 @@ def test_pairwise_jaccard(spark):
     assert out == {("s1", "s2"): 2 / 3}
 
 
+def test_pairwise_jaccard_hub_item_guard(spark):
+    # 'hub' spans ALL 40 keys: unguarded it alone generates 40·39/2 = 780
+    # candidate pairs (quadratic in key count); with max_item_frequency it
+    # is dropped from intersections AND set sizes, so only genuinely
+    # similar pairs survive with jaccard over the non-hub item space.
+    rows = [(f"k{i}", "hub") for i in range(40)]
+    rows += [("k0", "a"), ("k0", "b"), ("k1", "a"), ("k1", "b"), ("k2", "zz")]
+    df = spark.createDataFrame(rows, "k string, item string")
+
+    unguarded = similarity.pairwise_jaccard(df, "k", "item").collect()
+    assert len(unguarded) == 780  # every key-pair shares the hub
+
+    guarded = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in similarity.pairwise_jaccard(df, "k", "item", max_item_frequency=10).collect()
+    }
+    assert guarded == {("k0", "k1"): 1.0}  # {a,b} vs {a,b} once hub is removed
+
+
 # ---------------------------------------------------------------------------
 # J3 — transitive closure
 # ---------------------------------------------------------------------------

@@ -72,3 +72,27 @@ def test_streaming_ingest_availablenow(spark, tmp_path):
     q2 = run_ingest(spark, src, idx, sink, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == n1
+
+def test_query_organism_full_and_report(spark, kg):
+    # pick a real taxon name from the merged KG to resolve
+    taxon = (
+        kg.nodes.filter(F.col("id").startswith("NCBITaxon:"))
+        .orderBy("id")
+        .limit(1)
+        .collect()[0]
+    )
+    result = organism.query_organism_full(spark, taxon.name)
+    assert result["taxon_id"].startswith("NCBITaxon:")
+    assert isinstance(result["traits"], list)
+    assert set(result["media"].keys()) == {"grows_in", "no_growth"}
+
+    report = organism.format_organism_report(result)
+    assert report.startswith(f"# Organism Report: {result['name']} ({result['taxon_id']})")
+    assert "**Data sources**:" in report
+    if result["traits"]:
+        assert "## Traits" in report and "| Predicate | Value | Source |" in report
+
+
+def test_query_organism_full_unresolvable_raises(spark, kg):
+    with pytest.raises(ValueError, match="No organism found"):
+        organism.query_organism_full(spark, "zzz-no-such-organism-zzz")

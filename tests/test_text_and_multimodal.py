@@ -62,6 +62,34 @@ def test_multimodal_feature_plumbing(spark):
         assert r.n_bytes > 0
 
 
+def test_image_header_decode_real_bytes(spark):
+    import struct
+
+    from pyspark.sql import Row
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480) + b"\x08\x06" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8  # top-down height
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 16
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 24  # no header parser -> stub path
+
+    # direct parse: real dims from real header bytes
+    assert multimodal.parse_image_header(png) == ("image/png", 640, 480)
+    assert multimodal.parse_image_header(bmp) == ("image/bmp", 800, 600)
+    assert multimodal.parse_image_header(gif) == ("image/gif", 320, 200)
+
+    rows = [
+        Row(media_id=i, kind="image", payload=bytearray(b), mime=None, width=None, height=None, duration_sec=None)
+        for i, b in enumerate([png, bmp, gif, jpg])
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_media_features(media).collect()}
+    assert (got[0].mime, got[0].width, got[0].height) == ("image/png", 640, 480)
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/bmp", 800, 600)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/gif", 320, 200)
+    assert got[3].mime is None and got[3].decode_status == "ok"  # stub fallback
+    assert all(len(r.feature) == 8 for r in got.values())
+
+
 def test_multimodal_error_capture(spark):
     from pyspark.sql import Row
 
