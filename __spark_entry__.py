@@ -887,7 +887,10 @@ def q_embedding_nearest_neighbor(spark, sf_dir):
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     a = emb.select(F.col("vec_id").alias("vec_a"), dv.alias("va")).filter(F.col("vec_a") < 200)
     b = emb.select(F.col("vec_id").alias("vec_b"), dv.alias("vb")).filter(F.col("vec_b") < 200)
-    scored = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
+    # explicit broadcast: the filtered side is dimension-sized by
+    # construction; without the hint the non-equi join degrades to a
+    # CartesianProduct whenever size stats are unavailable
+    scored = a.join(F.broadcast(b), F.col("vec_a") != F.col("vec_b")).select(
         "vec_a", "vec_b", F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine")
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b").asc())

@@ -1,0 +1,105 @@
+"""Plan-regression guards over every driver entry (VERDICT r2 #9).
+
+Locks in the round-2 plan properties:
+- no CartesianProduct anywhere (BroadcastNestedLoopJoin against tiny
+  range/dimension tables is allowed — that is the broadcast range join);
+- the flagship kg_triples stays ZERO-broadcast (its round-2 rewrite's
+  defining property: no corpus-derived broadcast, two shuffles);
+- no EXPLICIT BroadcastExchange is fed by an UNFILTERED fact-table scan
+  (round 1's scale-killer). A broadcast subtree may scan a fact table only
+  through a Filter / pushed filter (e.g. the ANN query side, vec_id < 20).
+
+The check reads the STATIC physical plan (AQE initial plan): runtime AQE
+broadcast conversions never appear there, so only explicit F.broadcast()
+hints — exactly the regressions we want to catch — can trip the guard.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+FACT_TABLES = ("documents", "lineitem", "orders", "events", "embeddings")
+
+# queries that run non-plan work at call time (filesystem writes) or whose
+# plan is built from freshly-written temp files — plan text is still checked
+# but they need the write to happen first, which the call itself does.
+QUERY_NAMES = sorted(em.queries().keys())
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_auto_broadcast(spark):
+    """At sf0.001 the parquet files are tiny, so Spark's SIZE-based planner
+    legitimately broadcasts fact tables in the static plan. Disable the
+    threshold for this module: any remaining BroadcastExchange comes from
+    an EXPLICIT F.broadcast() hint — the only thing the guard polices."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan_string(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _indent(line: str) -> int:
+    stripped = line.lstrip(" +-:*")
+    return len(line) - len(stripped)
+
+
+def _broadcast_subtrees(plan: str):
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        base = _indent(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                break
+            if _indent(nxt) <= base:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+def _is_selective(subtree: str) -> bool:
+    """True iff the subtree filters by something BEYOND the isnotnull
+    conditions Catalyst auto-inserts on every join key — a broadcast of a
+    full fact table still carries isnotnull filters, so those don't count."""
+    for m in re.finditer(r"(^|\n)[\s+\-:*]*Filter[ (](.+)", subtree):
+        residual = re.sub(r"isnotnull\([^)]*\)", "", m.group(2))
+        if re.search(r"[<>=]|LIKE|StartsWith|Contains|IN\b| rlike", residual, re.IGNORECASE):
+            return True
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", subtree):
+        entries = [x.strip() for x in m.group(1).split(",") if x.strip()]
+        if any(not x.startswith("IsNotNull") for x in entries):
+            return True
+    return False
+
+
+def _scans_unfiltered_fact(subtree: str) -> bool:
+    if not any(re.search(rf"{t}\.parquet", subtree) for t in FACT_TABLES):
+        return False
+    return not _is_selective(subtree)
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_plan_guards(spark, name):
+    df = em.queries()[name](spark, SF)
+    plan = _plan_string(df)
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    for sub in _broadcast_subtrees(plan):
+        assert not _scans_unfiltered_fact(sub), (
+            f"{name}: BroadcastExchange fed by an unfiltered fact-table scan\n{sub[:2000]}"
+        )
+
+
+def test_flagship_zero_broadcast(spark):
+    plan = _plan_string(em.q_kg_triples(spark, SF))
+    assert "BroadcastExchange" not in plan, "kg_triples must stay zero-broadcast"
