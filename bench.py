@@ -118,25 +118,42 @@ SCALING_CORES = (1, 4)  # N and 4N cores (the sandbox-allowed evidence shape).
 # partitions — fewer per-task fixed costs, still >= 16 tasks/core at 4.
 
 
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(busy, idle, steal) aggregate jiffies from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+    busy = user + nice + system + irq + softirq
+    return busy, idle + iowait, steal
+
+
 def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> dict:
     """Same job, same input, two parallelism levels. EVERY session gets a
     warm-up run (small corpus) so JVM codegen / Python-worker startup is
     out of every measured leg — each round builds a fresh session, and a
     cold leg carries ~5-10s of compile noise that poisons the serial
-    fraction of the comparison."""
+    fraction of the comparison. Each leg also records the host steal%
+    (Δsteal / Δ(busy+steal) from /proc/stat) so quiet rounds are
+    identifiable in the published evidence."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     # Interleaved rounds: host noise is time-correlated (hypervisor steal
     # swings identical runs 2-5×), so alternating the two parallelism
     # levels round-by-round and taking each leg's minimum gives both legs
     # the same exposure to quiet windows.
     walls = {c: [] for c in SCALING_CORES}
+    steals = {c: [] for c in SCALING_CORES}
     n_triples = 0
     for rnd in range(reps):
         for cores in SCALING_CORES:
             spark = make_spark(cores)
             spark.sparkContext.setLogLevel("ERROR")
             run_pipeline_once(spark, warm_path or pages_path)  # warm-up, every session
+            t_busy0, t_idle0, t_steal0 = _cpu_ticks()
             wall, n_triples = run_pipeline_once(spark, pages_path)
+            t_busy1, t_idle1, t_steal1 = _cpu_ticks()
+            d_busy, d_steal = t_busy1 - t_busy0, t_steal1 - t_steal0
+            steals[cores].append(round(100.0 * d_steal / max(d_busy + d_steal, 1), 1))
             walls[cores].append(wall)
             spark.stop()
     import statistics
@@ -170,6 +187,20 @@ def scaling_run(pages_path: str, n_pages: int, warm_path: str | None = None) -> 
     results["scaling_efficiency_median"] = round(med_eff, 3)
     results["per_round_efficiency"] = paired
     results["scaling_efficiency_paired_median"] = round(statistics.median(paired), 3)
+    results["per_leg_steal_pct"] = {c: steals[c] for c in SCALING_CORES}
+    # Quiet-round subset: both legs of the round saw <2% hypervisor steal.
+    # Guest-visible steal undercounts host contention (memory-bandwidth /
+    # SMT pressure never shows as steal ticks), so this is a conservative
+    # quiet marker — published alongside, never instead of, the full set.
+    quiet = [
+        paired[i]
+        for i in range(len(paired))
+        if steals[lo][i] < 2.0 and steals[hi][i] < 2.0
+    ]
+    results["quiet_rounds"] = quiet
+    results["scaling_efficiency_quiet_median"] = (
+        round(statistics.median(quiet), 3) if quiet else None
+    )
     return results
 
 
@@ -227,15 +258,20 @@ def write_scaling_md(n_pages: int, scaling: dict):
         "",
     ]
     for cores in SCALING_CORES:
-        lines.append(f"- local[{cores}]: {scaling[cores]['all_walls']}")
+        lines.append(
+            f"- local[{cores}]: {scaling[cores]['all_walls']}"
+            f" (steal% per leg: {scaling['per_leg_steal_pct'][cores]})"
+        )
     lines += [
         "",
         f"- per-round paired efficiency: {scaling['per_round_efficiency']}",
+        f"- quiet rounds (both legs <2% steal): {scaling['quiet_rounds']}",
         "",
         "| estimator | efficiency |",
         "|---|---|",
         f"| best-of-N interleaved | {scaling['scaling_efficiency']} |",
         f"| **paired per-round median** | **{scaling['scaling_efficiency_paired_median']}** |",
+        f"| quiet-round paired median | {scaling['scaling_efficiency_quiet_median']} |",
         f"| unpaired median-of-walls | {scaling['scaling_efficiency_median']} |",
         "",
         "The paired median is the honest central estimator on this host: each",
