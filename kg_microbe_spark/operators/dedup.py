@@ -33,6 +33,45 @@ def drop_exact_duplicates(df: DataFrame) -> DataFrame:
     return df.dropDuplicates()
 
 
+def _completeness_rank_cols(
+    df: DataFrame,
+    key: str,
+    name_col: Optional[str],
+    description_col: Optional[str],
+    tiebreak_cols: Optional[Sequence[str]],
+) -> List[Column]:
+    """The A2 ranking as MIN-wins columns (smaller tuple = better row).
+
+    Ranking: non-empty name desc, non-empty description desc, count of
+    non-empty fields desc, then the tiebreak columns ascending-nulls-last
+    as a total order (deterministic winner under any partitioning). Desc
+    int ranks are negated; asc-nulls-last is encoded as an is-null flag
+    field (0 = non-null) followed by the value itself, so the value fields
+    are only ever compared between two non-null (or two null, i.e. equal)
+    operands and the lexicographic struct comparison reproduces
+    asc_nulls_last exactly.
+    """
+    cols = df.columns
+
+    def _has(c: str) -> Column:
+        return (F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))) != "").cast("int")
+
+    order: List[Column] = []
+    if name_col and name_col in cols:
+        order.append(F.lit(1) - _has(name_col))
+    if description_col and description_col in cols:
+        order.append(F.lit(1) - _has(description_col))
+    non_empty = None
+    for c in cols:
+        h = _has(c)
+        non_empty = h if non_empty is None else (non_empty + h)
+    order.append(-non_empty)
+    for c in tiebreak_cols if tiebreak_cols is not None else [c for c in cols if c != key]:
+        order.append(F.col(c).isNull().cast("int"))
+        order.append(F.col(c))
+    return order
+
+
 def dedup_most_complete(
     df: DataFrame,
     key: str,
@@ -40,12 +79,46 @@ def dedup_most_complete(
     description_col: Optional[str] = "description",
     tiebreak_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """A2: deterministic most-populated-row-wins dedup on ``key``.
+    """A2: deterministic most-populated-row-wins dedup on ``key`` —
+    the skew-absorbing AGGREGATION form.
 
-    Ranking: non-empty name desc, non-empty description desc, count of
-    non-empty fields desc, then ALL remaining columns ascending as a total
-    order (deterministic winner under any partitioning).
+    The argmax is associative, so it is expressed as
+    ``groupBy(key).agg(min_by(struct(all_cols), order_struct))``: map-side
+    partial aggregation reduces every input partition to at most one
+    candidate per key BEFORE the shuffle, so a hub key ("water", "E. coli"
+    on a large fraction of a web corpus — merged_graph_stats.yaml:147-148
+    records subclass_of at 2.76M in the reference merge) costs one partial
+    row per task instead of parking the whole key under a single window
+    task. Same property merge_edges already has; the window variant
+    (:func:`dedup_most_complete_window`) is a one-task-per-key straggler
+    at 100× and is kept only as the documented small-input path.
+
+    Reference: pandas_utils.py:38-56 (drop-duplicates-keep-most-complete);
+    determinism comes from the order tuple being a total order over rows
+    (SURVEY.md §7.3 hard part 2) — ``min_by`` ties can then only occur
+    between identical candidate rows, so the winner is partitioning-
+    independent.
     """
+    cols = df.columns
+    order = _completeness_rank_cols(df, key, name_col, description_col, tiebreak_cols)
+    ord_struct = F.struct(*[c.alias(f"_o{i}") for i, c in enumerate(order)])
+    row_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+    best = df.groupBy(key).agg(F.min_by(row_struct, ord_struct).alias("_best"))
+    return best.select(*[F.col(f"_best.{c}").alias(c) for c in cols])
+
+
+def dedup_most_complete_window(
+    df: DataFrame,
+    key: str,
+    name_col: Optional[str] = "name",
+    description_col: Optional[str] = "description",
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """The window (row_number) form of A2 — identical output, kept as the
+    documented SMALL-INPUT path (and as the property-test twin): a window
+    puts every row of one key in one task, which is exactly the hot-key
+    straggler the aggregation form exists to avoid. Do not use on corpus-
+    scale keyed data."""
     cols = df.columns
 
     def _has(c: str) -> Column:

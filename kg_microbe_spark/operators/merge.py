@@ -3,14 +3,17 @@ hold-everything-in-memory merge (merge_kg.py:93-124; J6/A2 in SURVEY.md).
 
 - union: ``unionByName(allowMissingColumns=True)`` handles per-source
   extension columns (PREGO's 7 extras, BacDive's value/unit — §1.1).
-- nodes: repartitionByRange on the canonical id, then A2 completeness-
-  ranked first-wins dedup. Range partitioning keeps the dedup shuffle
-  balanced even when one ontology family dominates (the reference's
-  NCBITaxon skew), and AQE skew-join splitting covers residual hot keys.
+- nodes: A2 completeness-ranked dedup in its AGGREGATION form
+  (groupBy(id).agg(min_by(struct, order_struct))) — hub ids ("water",
+  "E. coli" on a large fraction of pages; the reference's NCBITaxon skew)
+  are absorbed by map-side partial aggregation, each task emitting at most
+  one candidate per id before the shuffle. No pre-partitioning: any
+  key-based repartition (hash OR range) would route the whole hot key
+  through one task BEFORE the partial aggregation could shrink it — the
+  round-3 repartitionByRange here was exactly that straggler.
 - edges: groupBy (subject, predicate, object) with first-wins provenance
   (deterministic MIN) + occurrence-count aggregation — hub-entity skew on
-  `subject` is absorbed by partial (map-side) aggregation: each task emits
-  one partial row per key before the shuffle.
+  `subject` is absorbed the same way.
 """
 
 from __future__ import annotations
@@ -30,12 +33,14 @@ def union_by_name(frames: Sequence[DataFrame]) -> DataFrame:
 
 
 def merge_nodes(frames: Sequence[DataFrame], num_partitions: int | None = None) -> DataFrame:
-    """J6 node merge: union → range-partition by id → A2 dedup."""
+    """J6 node merge: union → A2 dedup (skew-absorbing aggregation form).
+
+    ``num_partitions`` (optional) round-robin-rebalances the INPUT before
+    the aggregation — key-free, so it can never concentrate a hot id; the
+    dedup itself shuffles only map-side partial rows."""
     u = union_by_name(list(frames))
     if num_partitions:
-        u = u.repartitionByRange(num_partitions, "id")
-    else:
-        u = u.repartitionByRange("id")
+        u = u.repartition(num_partitions)
     return dedup_most_complete(u, key="id", name_col="name", description_col="description")
 
 

@@ -103,3 +103,51 @@ def test_plan_guards(spark, name):
 def test_flagship_zero_broadcast(spark):
     plan = _plan_string(em.q_kg_triples(spark, SF))
     assert "BroadcastExchange" not in plan, "kg_triples must stay zero-broadcast"
+
+
+# ---------------------------------------------------------------------------
+# Pipeline DAG guards (VERDICT r3 #7): the same static-plan assertions over
+# run_pipeline's stages, not just the driver entries.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    from kg_microbe_spark.plans.pipeline import run_pipeline
+    from kg_microbe_spark.sources.synthetic import lexicon_df, pages_df
+
+    return run_pipeline(spark, pages_df(spark, 300), lexicon_df(spark))
+
+
+def test_pipeline_no_cartesian(spark, pipeline_result):
+    for name in ("entities", "nodes", "edges", "triples"):
+        plan = _plan_string(getattr(pipeline_result, name))
+        assert "CartesianProduct" not in plan, f"pipeline.{name}: CartesianProduct"
+
+
+def test_pipeline_dup_url_broadcast(spark, pipeline_result):
+    """The url-dedup semi/anti joins must broadcast the (tiny, derived)
+    dup-url dimension explicitly — AQE cannot rescue unknown-stats joins in
+    time, and without the hint the full pages table shuffles (measured 46s
+    of a 113s wall in round 2). autoBroadcastJoinThreshold is -1 in this
+    module, so any BroadcastExchange present is the explicit hint."""
+    plan = _plan_string(pipeline_result.entities)
+    assert "BroadcastExchange" in plan, "dup-url broadcast hint missing from extract stage"
+
+
+def test_pipeline_node_merge_is_partial_aggregation(spark, pipeline_result):
+    """The A2 node merge must be the skew-absorbing aggregation (map-side
+    partial min_by), never a window, and never behind a keyed
+    pre-partitioning (hash or range repartition on id) that would route a
+    hub id through one task before the partial agg can shrink it."""
+    plan = _plan_string(pipeline_result.nodes)
+    assert "Window" not in plan, "node merge regressed to a window argmax"
+    assert "min_by" in plan
+    assert "partial_min_by" in plan, "map-side partial aggregation missing"
+    assert "rangepartitioning" not in plan.lower(), "keyed pre-partition before node dedup"
+
+
+def test_pipeline_edge_merge_partial_aggregation(spark, pipeline_result):
+    plan = _plan_string(pipeline_result.edges)
+    assert "Window" not in plan
+    # first-wins provenance via partial min/count before the triple-key shuffle
+    assert "partial_min" in plan or "partial_count" in plan
