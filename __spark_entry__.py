@@ -130,7 +130,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KG_TRIPLES_SQL = """
+_KG_TRIPLES_SQL = f"""
 WITH words_all AS (
   SELECT DISTINCT doc_id, source, word FROM (
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
@@ -138,7 +138,7 @@ WITH words_all AS (
   ) WHERE word <> '' AND word NOT IN ('the', 'a', 'of', 'and')
 ),
 capped AS (  -- mirror of the Spark side's sorted per-doc MENTION_CAP slice
-  SELECT doc_id, source, (list_sort(list(word)))[1:512] AS ws
+  SELECT doc_id, source, (list_sort(list(word)))[1:{MENTION_CAP}] AS ws
   FROM words_all GROUP BY 1, 2
 ),
 words AS (
@@ -1668,25 +1668,18 @@ LIMIT 10
 # ===========================================================================
 
 
-def q_mention_scan(spark, sf_dir):
-    """N2 — executes the SHIPPED automaton mention-scan path end to end:
-    ``scan_mentions`` (FirstWordIndex dictionary matcher with MULTI-WORD
-    patterns, word boundaries, leftmost-longest) → ``aggregate_mentions``
-    (A8 distinct-mention batching) → ``link_mentions`` (broadcast lexicon
-    join). Reference: ner_utils.py:99-124 + bacdive.py:224-321.
-
-    Fixture design makes the oracle exact by construction: the lexicon is
-    2-word part names (partkey<=200) plus 1-word first-word prefixes
-    (partkey<=50); page text embeds, per lineitem, the full name and its
-    first word, separated by non-lexicon filler tokens (qqs/qqd/qqf/qqe).
-    Every maximal name-word run is therefore either a full name (whose
-    2-word term is always in the lexicon, so leftmost-LONGEST suppresses
-    the 1-word prefix inside it) or a standalone first word (matched iff
-    it is a lexicon term) — so expected counts are derivable relationally
-    while the Spark side genuinely scans text through the automaton."""
-    from kg_microbe_spark.operators.linking import link_mentions
-    from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions
-
+def _mention_fixture(spark, sf_dir):
+    """Shared fixture for the N2 entries (single-broadcast and sharded):
+    returns (pages, lex). Design makes the oracle exact by construction:
+    the lexicon is 2-word part names (partkey<=200) plus 1-word first-word
+    prefixes (partkey<=50); page text embeds, per lineitem, the full name
+    and its first word, separated by non-lexicon filler tokens
+    (qqs/qqd/qqf/qqe). Every maximal name-word run is therefore either a
+    full name (whose 2-word term is always in the lexicon, so
+    leftmost-LONGEST suppresses the 1-word prefix inside it) or a
+    standalone first word (matched iff it is a lexicon term) — so expected
+    counts are derivable relationally while the Spark side genuinely scans
+    text through the automaton."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     pk = F.col("p_partkey")
@@ -1717,7 +1710,41 @@ def q_mention_scan(spark, sf_dir):
         .agg(F.concat(F.lit("qqs "), F.concat_ws(" qqd ", F.collect_list("frag")), F.lit(" qqe")).alias("text"))
         .select(F.concat(F.lit("page:"), F.col("l_orderkey").cast("string")).alias("url"), "text")
     )
+    return pages, lex
+
+
+def q_mention_scan(spark, sf_dir):
+    """N2 — executes the SHIPPED automaton mention-scan path end to end:
+    ``scan_mentions`` (FirstWordIndex dictionary matcher with MULTI-WORD
+    patterns, word boundaries, leftmost-longest) → ``aggregate_mentions``
+    (A8 distinct-mention batching) → ``link_mentions`` (broadcast lexicon
+    join). Reference: ner_utils.py:99-124 + bacdive.py:224-321. Fixture /
+    oracle design: see :func:`_mention_fixture`."""
+    from kg_microbe_spark.operators.linking import link_mentions
+    from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions
+
+    pages, lex = _mention_fixture(spark, sf_dir)
     mentions = scan_mentions(pages, lex)
+    linked = link_mentions(aggregate_mentions(mentions), lex)
+    return linked.select("url", "term_norm", "curie", "n_mentions")
+
+
+def q_mention_scan_sharded(spark, sf_dir):
+    """N2 at dictionary scale — executes the SHIPPED
+    ``scan_mentions_sharded`` (operators/mentions.py:107-147) with
+    shards=3: the beyond-broadcast-ceiling path that hash-shards the
+    pattern space, scans once per shard (each shard emits longest-per-
+    start candidates only), and resolves leftmost-longest-non-overlapping
+    GLOBALLY after the shard union (``resolve_leftmost_longest``) — the
+    path the reference's PREGO-scale dictionary requires (13.9M names,
+    prego.py:375-378,452). Identical output to ``q_mention_scan`` by
+    construction, so it shares the same relational oracle; the Spark side
+    genuinely runs the shard-union + global resolution sweep."""
+    from kg_microbe_spark.operators.linking import link_mentions
+    from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions_sharded
+
+    pages, lex = _mention_fixture(spark, sf_dir)
+    mentions = scan_mentions_sharded(pages, lex, shards=3)
     linked = link_mentions(aggregate_mentions(mentions), lex)
     return linked.select("url", "term_norm", "curie", "n_mentions")
 
@@ -2085,9 +2112,12 @@ def q_kgx_roundtrip(spark, sf_dir):
         F.lower("n_name").alias("name"),
         F.lit("biolink:OrganismTaxon").alias("category"),
     )
+    # applicationId in the path: two concurrent runs over the same sf_dir
+    # (e.g. bench and verify in parallel) must not race on the write/read.
     out = os.path.join(
         tempfile.gettempdir(),
-        "kgx_roundtrip_" + os.path.basename(os.path.normpath(sf_dir)),
+        "kgx_roundtrip_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId),
     )
     write_kgx_tsv(nodes, out, sort_by=["id"])
     return read_tsv(spark, out).select("id", "name", "category")
@@ -2096,6 +2126,115 @@ def q_kgx_roundtrip(spark, sf_dir):
 _KGX_ROUNDTRIP_SQL = """
 SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS id, lower(n_name) AS name,
        'biolink:OrganismTaxon' AS category
+FROM nation
+"""
+
+
+def q_kgx_tar_roundtrip(spark, sf_dir):
+    """S12+S3 round-trip — executes the SHIPPED tar bundle sink AND tar
+    member source in one row: ``write_kgx_tar`` (sources/sinks.py:48 —
+    distributed sorted TSV parts, driver-side tar framing, atomic .tmp
+    rename; reference Makefile merge → merged-kg.tar.gz publish) writes a
+    KGX bundle, then ``read_tar_tsv`` (sources/tar_source.py — binaryFile
+    scan + in-memory tarfile walk in mapInPandas, JVM-side line/cell
+    split; reference uniprot_utils.py:586-660) streams BOTH members back
+    out, and the edge rows are joined to the node member for the object's
+    name. The oracle recomputes the frame relationally from supplier ×
+    nation, so the row is green only if the bundle round-trip is lossless
+    member-for-member."""
+    import tempfile
+
+    from kg_microbe_spark.sources.sinks import write_kgx_tar
+    from kg_microbe_spark.sources.tar_source import read_tar_tsv
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    nodes = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+        F.lower("n_name").alias("name"),
+    )
+    edges = s.select(
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("subject"),
+        F.lit("biolink:located_in").alias("predicate"),
+        F.concat(F.lit("N:"), F.col("s_nationkey").cast("string")).alias("object"),
+        F.lit("RO:0001025").alias("relation"),
+        F.lit("infores:graft-test").alias("primary_knowledge_source"),
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "kgx_tar_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId),
+    )
+    tar_path = os.path.join(work, "merged-kg.tar.gz")
+    write_kgx_tar(nodes, edges, tar_path, work_dir=os.path.join(work, "wk"))
+    node_back = read_tar_tsv(
+        spark, tar_path, columns=["id", "category", "name"],
+        member_names=["merged-kg_nodes.tsv"],
+    ).select("id", "name")
+    edge_back = read_tar_tsv(
+        spark, tar_path,
+        columns=["subject", "predicate", "object", "relation", "primary_knowledge_source"],
+        member_names=["merged-kg_edges.tsv"],
+    ).select("subject", "predicate", "object", "relation")
+    return edge_back.join(node_back, edge_back["object"] == node_back["id"]).select(
+        "subject", "predicate", "object", "relation", F.col("name").alias("object_name")
+    )
+
+
+_KGX_TAR_ROUNDTRIP_SQL = """
+SELECT 'S:' || CAST(s_suppkey AS VARCHAR) AS subject,
+       'biolink:located_in' AS predicate,
+       'N:' || CAST(s_nationkey AS VARCHAR) AS object,
+       'RO:0001025' AS relation,
+       lower(n_name) AS object_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_rest_fetch(spark, sf_dir):
+    """S9 — executes the SHIPPED REST source ``fetch_json_records``
+    (sources/rest.py:27-83; reference utils/download_bacdive.py pages an
+    authenticated REST API id-by-id) with an INJECTED deterministic
+    transport (this sandbox has no network — production passes a urllib
+    closure; nothing else changes). Endpoints derive from `nation`; the
+    fake transport fails permanently for nationkey % 7 == 3, exercising
+    the bounded-retry + per-row error channel (attempts=3, error string,
+    NULL body — fail-open, one bad endpoint never kills the scan), and
+    returns a JSON body parsed with ordinary ``from_json`` otherwise."""
+    from kg_microbe_spark.sources.rest import fetch_json_records
+
+    eps = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("api://nation/"), F.col("n_nationkey").cast("string")).alias("url"),
+    )
+
+    def _transport(url: str) -> str:
+        key = int(url.rsplit("/", 1)[1])
+        if key % 7 == 3:
+            raise ValueError("unreachable endpoint")
+        return '{"key": %d, "sq": %d}' % (key, key * key)
+
+    fetched = fetch_json_records(eps, _transport, sleeper=lambda _s: None)
+    parsed = fetched.withColumn("j", F.from_json("body", "key int, sq int"))
+    return parsed.select(
+        "id",
+        "url",
+        F.col("j.key").alias("key"),
+        F.col("j.sq").alias("sq"),
+        "error",
+        "attempts",
+    )
+
+
+_REST_FETCH_SQL = """
+SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS id,
+       'api://nation/' || CAST(n_nationkey AS VARCHAR) AS url,
+       CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE CAST(n_nationkey AS INTEGER) END AS key,
+       CASE WHEN n_nationkey % 7 = 3 THEN NULL
+            ELSE CAST(n_nationkey * n_nationkey AS INTEGER) END AS sq,
+       CASE WHEN n_nationkey % 7 = 3 THEN 'ValueError: unreachable endpoint' END AS error,
+       CAST(CASE WHEN n_nationkey % 7 = 3 THEN 3 ELSE 1 END AS INTEGER) AS attempts
 FROM nation
 """
 
@@ -2155,12 +2294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
         "mention_scan": q_mention_scan,
+        "mention_scan_sharded": q_mention_scan_sharded,
         "apply_threshold": q_apply_threshold,
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
         "xref_routing": q_xref_routing,
         "sanitize_tables": q_sanitize_tables,
         "kgx_roundtrip": q_kgx_roundtrip,
+        "kgx_tar_roundtrip": q_kgx_tar_roundtrip,
+        "rest_fetch": q_rest_fetch,
     }
 
 
@@ -2210,10 +2352,13 @@ def oracle_sql() -> dict[str, str]:
         "node_filters": _NODE_FILTERS_SQL,
         "term_linking": _TERM_LINKING_SQL,
         "mention_scan": _MENTION_SCAN_SQL,
+        "mention_scan_sharded": _MENTION_SCAN_SQL,
         "apply_threshold": _APPLY_THRESHOLD_SQL,
         "consolidate_category": _consolidate_sql(),
         "name_index": _NAME_INDEX_SQL,
         "xref_routing": _XREF_ROUTING_SQL,
         "sanitize_tables": _SANITIZE_TABLES_SQL,
         "kgx_roundtrip": _KGX_ROUNDTRIP_SQL,
+        "kgx_tar_roundtrip": _KGX_TAR_ROUNDTRIP_SQL,
+        "rest_fetch": _REST_FETCH_SQL,
     }

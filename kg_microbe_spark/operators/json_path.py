@@ -35,6 +35,11 @@ def json_path_values(col: Column, path: str, elem_type: str = "string") -> Colum
     # malformed for string leaves ("hello" -> [hello] is not JSON); a plain
     # cast is the identity for strings and correct for numerics. Object
     # leaves ({...}) are non-scalar — the reference skips them.
+    # CONTRACT LIMIT: because scalars arrive unquoted, a STRING leaf whose
+    # value itself begins with '[' or '{' (e.g. "[x") is indistinguishable
+    # from an array/object node and is dispatched as one (dropped/mangled
+    # instead of returned as the scalar). Accepted residual: the reference
+    # likewise keys on leaf shape; documented in tests/test_binning_jsonpath.
     as_scalar = F.array(node.cast(elem_type))
     arr = (
         F.when(node.isNull(), F.array().cast(f"array<{elem_type}>"))

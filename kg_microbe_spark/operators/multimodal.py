@@ -58,10 +58,11 @@ class DecodeNotAvailable(NotImplementedError):
 
 def parse_image_header(payload: bytes) -> tuple:
     """REAL dependency-free decode of (mime, width, height) from the
-    container header for PNG / BMP / GIF — the non-stub branch of
-    ``extract_media_features``. Formats whose decode needs a codec lib
-    (JPEG entropy scan, audio/video) raise :class:`DecodeNotAvailable`
-    and fall through to the documented stub.
+    container header for PNG / BMP / GIF / JPEG (marker-segment walk to
+    the SOF frame header — no entropy decode needed for dimensions) — the
+    non-stub branch of ``extract_media_features``. Formats whose decode
+    genuinely needs a codec lib (pixel data, audio/video) raise
+    :class:`DecodeNotAvailable` and fall through to the documented stub.
     """
     import struct
 
@@ -72,12 +73,43 @@ def parse_image_header(payload: bytes) -> tuple:
         w, h = struct.unpack(">II", payload[16:24])
         return ("image/png", int(w), int(h))
     if payload[:2] == b"BM":
-        # BITMAPINFOHEADER: signed LE i32 at 18/22 (height<0 = top-down)
+        # BITMAPINFOHEADER: signed LE i32 at 18/22 (height<0 = top-down).
+        # 24-25-byte 'BM' payloads pass the global len guard but not this
+        # unpack — they fall through as DecodeNotAvailable, never
+        # struct.error (which would land in the generic error bucket).
+        if len(payload) < 26:
+            raise DecodeNotAvailable("truncated BMP header")
         w, h = struct.unpack("<ii", payload[18:26])
         return ("image/bmp", int(w), abs(int(h)))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return ("image/gif", int(w), int(h))
+    if payload[:2] == b"\xff\xd8":
+        # JPEG/JFIF: walk FF-marker segments to the first SOFn frame header
+        # (C0-CF minus DHT/JPG/DAC C4/C8/CC); dims are BE u16 at +5/+7 of
+        # the segment payload (precision byte first). Covers baseline,
+        # extended and progressive — the dominant web image formats.
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                break  # lost marker sync — corrupt header
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte before a marker
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("image/jpeg", int(w), int(h))
+            if marker == 0xDA:  # start-of-scan before any SOF: give up
+                break
+            i += 2 + seglen
+        raise DecodeNotAvailable("JPEG without reachable SOF header")
     raise DecodeNotAvailable("unrecognized container magic")
 
 

@@ -18,6 +18,7 @@ than per-query hints, matching the reference's index-free DuckDB setup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def register_views(spark: SparkSession, nodes: DataFrame, edges: DataFrame) -> None:
@@ -146,21 +147,27 @@ def environment_chemical_profile(spark: SparkSession, environment_id: str) -> Da
 def media_composition(spark: SparkSession, medium_ids) -> DataFrame:
     """Ingredients of the given media (the reference's get_media_composition
     2-hop step, organism_queries.py): medium --has_part--> ingredient.
-    The id list is joined as a DataFrame (never interpolated into SQL)."""
+
+    The id list is joined as a broadcast DataFrame directly against the
+    ``edges`` view — never interpolated into SQL, and never registered as a
+    session-global temp view (a shared view name would let concurrent or
+    nested calls on one SparkSession clobber each other's id lists before
+    the lazy query executes, and would leak after the call)."""
     ids = spark.createDataFrame([(m,) for m in medium_ids] or [(None,)], "medium_id string").filter(
         "medium_id IS NOT NULL"
     )
-    ids.createOrReplaceTempView("_medium_ids")
-    return spark.sql(
-        """
-        SELECT e.subject AS medium_id, e.object AS ingredient_id,
-               n.name AS ingredient_name
-        FROM edges e
-        JOIN _medium_ids m ON e.subject = m.medium_id
-        LEFT JOIN nodes n ON e.object = n.id
-        WHERE e.predicate = 'biolink:has_part'
-        ORDER BY medium_id, ingredient_id
-        """
+    edges = spark.table("edges")
+    nodes = spark.table("nodes")
+    return (
+        edges.filter(F.col("predicate") == "biolink:has_part")
+        .join(F.broadcast(ids), edges["subject"] == ids["medium_id"])
+        .join(nodes, edges["object"] == nodes["id"], "left")
+        .select(
+            edges["subject"].alias("medium_id"),
+            edges["object"].alias("ingredient_id"),
+            nodes["name"].alias("ingredient_name"),
+        )
+        .orderBy("medium_id", "ingredient_id")
     )
 
 

