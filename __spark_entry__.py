@@ -365,6 +365,26 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def q_salted_group_collect(spark, sf_dir):
+    """A3 in its hub-safe form — executes the SHIPPED
+    ``salted_collect_set`` (operators/salting.py): the north rule's
+    EXPLICIT SALTING applied where partial aggregation genuinely cannot
+    absorb a hub key (collect_set's partial state IS the collected data).
+    Two phases: groupBy(key, hash(value)%buckets) collects disjoint
+    partial sets, then groupBy(key) concatenates ≤buckets arrays — the
+    hub reducer sees buckets rows, not the raw fan-in. Output identical
+    to the unsalted ``group_collect`` entry, so it shares that oracle."""
+    from kg_microbe_spark.operators.salting import salted_collect_set
+
+    c = _t(spark, sf_dir, "customer")
+    out = salted_collect_set(
+        c, ["c_nationkey"], "c_mktsegment", "seg_arr", salt_buckets=8, count_col="n_customers"
+    )
+    return out.select(
+        "c_nationkey", F.array_join("seg_arr", "|").alias("segments"), "n_customers"
+    )
+
+
 def q_pairwise_jaccard(spark, sf_dir):
     """A4 — executes the SHIPPED operator (similarity.pairwise_jaccard):
     Jaccard overlap of part-type sets between brand pairs (rounded to 6dp
@@ -2192,6 +2212,88 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """S5 round-trip — writes a JSONL dataset (the reference's
+    download/transform interchange format, e.g. metatraits JSONL dumps)
+    and reads it back through the SHIPPED ``read_jsonl`` (sources/io.py);
+    the oracle recomputes relationally, so the row is green only if the
+    line-delimited JSON round-trip preserves rows, types (int64 survives
+    the JSON number path) and values."""
+    import tempfile
+
+    from kg_microbe_spark.sources.io import read_jsonl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "jsonl_rt_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId),
+    )
+    d.write.mode("overwrite").json(out)
+    return read_jsonl(spark, out).select("doc_id", "lang", "source", "n_chars")
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def q_neo4j_bulk_roundtrip(spark, sf_dir):
+    """S14 round-trip — executes the SHIPPED ``write_neo4j_bulk``
+    (sources/sinks.py:69: neo4j-admin split-header bulk layout — one
+    driver-written header file per entity + HEADERLESS distributed data
+    parts, the only Neo4j load shape that survives web-scale graphs;
+    reference uploads with `kgx neo4j-upload` over bolt, Makefile:64-68)
+    then reads the edge data parts back WITH the schema taken from the
+    written header file, proving the two halves agree. Oracle recomputes
+    from supplier × nation; the :TYPE column must arrive biolink-prefix-
+    stripped exactly as neo4j-admin would ingest it."""
+    import tempfile
+
+    from kg_microbe_spark.sources.sinks import write_neo4j_bulk
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    nodes = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+        F.lower("n_name").alias("name"),
+    )
+    edges = s.select(
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("subject"),
+        F.lit("biolink:located_in").alias("predicate"),
+        F.concat(F.lit("N:"), F.col("s_nationkey").cast("string")).alias("object"),
+        F.lit("RO:0001025").alias("relation"),
+        F.lit("infores:graft-test").alias("primary_knowledge_source"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "neo4j_rt_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId),
+    )
+    write_neo4j_bulk(nodes, edges, out)
+    with open(os.path.join(out, "edges_header.csv")) as f:
+        header_cols = f.read().strip().split(",")
+    back = spark.read.schema(
+        ", ".join(f"`{c}` string" for c in header_cols)
+    ).csv(os.path.join(out, "edges"))
+    return back.select(
+        F.col("`:START_ID`").alias("start_id"),
+        F.col("`:END_ID`").alias("end_id"),
+        F.col("`:TYPE`").alias("rel_type"),
+        F.col("relation").alias("relation"),
+    )
+
+
+_NEO4J_ROUNDTRIP_SQL = """
+SELECT 'S:' || CAST(s_suppkey AS VARCHAR) AS start_id,
+       'N:' || CAST(s_nationkey AS VARCHAR) AS end_id,
+       'located_in' AS rel_type,
+       'RO:0001025' AS relation
+FROM supplier
+"""
+
+
 def q_rest_fetch(spark, sf_dir):
     """S9 — executes the SHIPPED REST source ``fetch_json_records``
     (sources/rest.py:27-83; reference utils/download_bacdive.py pages an
@@ -2260,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_acctbal": q_cumulative_acctbal,
         "topk_per_priority": q_topk_per_priority,
         "group_collect": q_group_collect,
+        "salted_group_collect": q_salted_group_collect,
         "pairwise_jaccard": q_pairwise_jaccard,
         "anti_join_unordered_parts": q_anti_join_unordered_parts,
         "canonical_direction": q_canonical_direction,
@@ -2302,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_tables": q_sanitize_tables,
         "kgx_roundtrip": q_kgx_roundtrip,
         "kgx_tar_roundtrip": q_kgx_tar_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "neo4j_bulk_roundtrip": q_neo4j_bulk_roundtrip,
         "rest_fetch": q_rest_fetch,
     }
 
@@ -2318,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_acctbal": _CUMSUM_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
+        "salted_group_collect": _GROUP_COLLECT_SQL,
         "pairwise_jaccard": _JACCARD_SQL,
         "anti_join_unordered_parts": _ANTI_SQL,
         "canonical_direction": _P4_SQL,
@@ -2360,5 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "sanitize_tables": _SANITIZE_TABLES_SQL,
         "kgx_roundtrip": _KGX_ROUNDTRIP_SQL,
         "kgx_tar_roundtrip": _KGX_TAR_ROUNDTRIP_SQL,
+        "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
+        "neo4j_bulk_roundtrip": _NEO4J_ROUNDTRIP_SQL,
         "rest_fetch": _REST_FETCH_SQL,
     }
