@@ -44,11 +44,39 @@ class LexiconTooLargeError(ValueError):
     scan_mentions_sharded (or raise max_broadcast_patterns deliberately)."""
 
 
-def _scan_with_matcher(extracted: DataFrame, name_index: DataFrame, candidates_only: bool) -> DataFrame:
-    spark = extracted.sparkSession
+# (applicationId, caller-supplied dictionary-version key) → broadcast
+# matcher. The collect + FirstWordIndex build + broadcast is driver-side
+# serial time proportional to the dictionary, identical on every scan over
+# the same lexicon — a cluster builds the broadcast once per dictionary
+# VERSION and reuses it across every job/micro-batch, so the engine does
+# too. The key is explicit (e.g. the lexicon table's snapshot id): the
+# caller owns the staleness contract, as in any dimension cache.
+_MATCHER_CACHE: dict = {}
+
+
+def _matcher_broadcast(spark, name_index: DataFrame, cache_key: str | None):
+    if cache_key is not None:
+        key = (spark.sparkContext.applicationId, cache_key)
+        bc = _MATCHER_CACHE.get(key)
+        if bc is not None:
+            return bc
+        for k in [k for k in _MATCHER_CACHE if k[0] != key[0]]:
+            del _MATCHER_CACHE[k]
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
-    matcher = build_matcher(patterns)
-    bc = spark.sparkContext.broadcast(matcher)
+    bc = spark.sparkContext.broadcast(build_matcher(patterns))
+    if cache_key is not None:
+        _MATCHER_CACHE[(spark.sparkContext.applicationId, cache_key)] = bc
+    return bc
+
+
+def _scan_with_matcher(
+    extracted: DataFrame,
+    name_index: DataFrame,
+    candidates_only: bool,
+    matcher_cache_key: str | None = None,
+) -> DataFrame:
+    spark = extracted.sparkSession
+    bc = _matcher_broadcast(spark, name_index, matcher_cache_key)
 
     import pandas as pd
 
@@ -86,13 +114,18 @@ def scan_mentions(
     extracted: DataFrame,
     name_index: DataFrame,
     max_broadcast_patterns: int | None = MAX_BROADCAST_PATTERNS,
+    matcher_cache_key: str | None = None,
 ) -> DataFrame:
     """extracted(url,text,…) × name_index → mentions(url, surface,
     term_norm, start, end). Offsets refer to the normalized text.
 
     Guarded: pattern sets above ``max_broadcast_patterns`` raise
     :class:`LexiconTooLargeError` instead of silently building a multi-GB
-    driver object (pass None to bypass deliberately)."""
+    driver object (pass None to bypass deliberately).
+
+    ``matcher_cache_key``: optional dictionary-version key enabling
+    session-scoped reuse of the built+broadcast matcher (see
+    _MATCHER_CACHE); only pass it when the name index is version-stable."""
     if max_broadcast_patterns is not None:
         n_patterns = name_index.select("term_norm").distinct().count()
         if n_patterns > max_broadcast_patterns:
@@ -101,7 +134,9 @@ def scan_mentions(
                 f"use scan_mentions_sharded(extracted, name_index, shards="
                 f"{-(-n_patterns // max_broadcast_patterns)}) — see SCALE.md"
             )
-    return _scan_with_matcher(extracted, name_index, candidates_only=False)
+    return _scan_with_matcher(
+        extracted, name_index, candidates_only=False, matcher_cache_key=matcher_cache_key
+    )
 
 
 def scan_mentions_sharded(extracted: DataFrame, name_index: DataFrame, shards: int = 4) -> DataFrame:
