@@ -1804,6 +1804,48 @@ FROM counted c JOIN lex x ON c.term_norm = x.term_norm
 """
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """§2.11 Structured Streaming — executes the SHIPPED ``run_ingest``
+    (streaming/ingest.py: file-source stream over the pages table,
+    maxFilesPerTrigger micro-batches, the SAME extract+scan operators,
+    exactly-once checkpointed parquet sink, availableNow trigger) over the
+    mention fixture, then reads the sink back, aggregates, and links —
+    identical output to the batch ``mention_scan`` entry by construction,
+    so streaming shares its relational oracle: the row is green only if
+    the stream delivered every mention exactly once across micro-batches.
+    Reference: the engine's continuous-crawl deployment shape for the
+    reference's resumable batch ingest (SURVEY.md §2.11)."""
+    import tempfile
+    import uuid
+
+    from kg_microbe_spark.operators.linking import link_mentions
+    from kg_microbe_spark.operators.mentions import aggregate_mentions
+    from kg_microbe_spark.streaming.ingest import run_ingest
+
+    pages, lex = _mention_fixture(spark, sf_dir)
+    full_pages = pages.select(
+        "url",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    # fresh dirs per invocation: the checkpoint must not resume across
+    # entry calls (overwritten source parquet gets new file names, which an
+    # old checkpoint would treat as new data and double-deliver).
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "stream_ingest_%s_%s" % (spark.sparkContext.applicationId, uuid.uuid4().hex[:8]),
+    )
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    full_pages.repartition(4).write.mode("overwrite").parquet(src)
+    q = run_ingest(spark, src, lex, sink, ckpt)
+    q.awaitTermination()
+    mentions = spark.read.parquet(sink)
+    linked = link_mentions(aggregate_mentions(mentions), lex)
+    return linked.select("url", "term_norm", "curie", "n_mentions")
+
+
 def q_apply_threshold(spark, sf_dir):
     """P7 row-filter side of calibration — executes the SHIPPED
     ``build_cutoffs`` + ``apply_threshold`` (operators/calibration.py;
@@ -2078,6 +2120,54 @@ routed AS (
 SELECT url, curie, MIN(label) AS label, MIN(rank) AS rank,
        CAST(SUM(n) AS BIGINT) AS n_mentions
 FROM routed GROUP BY 1, 2
+"""
+
+
+def q_fuzzy_name_index(spark, sf_dir):
+    """N4 — executes the SHIPPED fuzzy-variant branch of
+    ``build_name_index`` (operators/lexicon.py:54-77; reference
+    chemical_mapping_utils.py fuzzy_stereochemistry / hydrate-free
+    fallback index): ChemicalEntity labels carrying a stereo prefix
+    ("(r)-…") or hydrate suffix ("… x2H2O") get a rank-2 entry under the
+    STRIPPED norm — the curated-fallback surface a raw-text mention
+    resolves against when the exact form misses — while the rank-0 entry
+    keeps the plain norm, and W4 picks one winner per term (rank, then
+    curie). Lowercase-ASCII part names make F1 normalization the identity
+    on the stripped side, so the whole index is derivable relationally."""
+    from kg_microbe_spark.operators.lexicon import build_name_index
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    base = F.lower("p_name")
+    dirty = F.when(
+        F.col("p_partkey") % 2 == 1, F.concat(F.lit("(r)-"), base)
+    ).otherwise(F.concat(base, F.lit(" x2H2O")))
+    lex = p.select(
+        F.concat(F.lit("CHEBI:"), F.col("p_partkey").cast("string")).alias("curie"),
+        dirty.alias("label"),
+        F.lit(None).cast("array<string>").alias("synonyms"),
+        F.lit("biolink:ChemicalEntity").alias("category"),
+        F.lit(None).cast("array<string>").alias("xrefs"),
+        F.lit(False).alias("deprecated"),
+    )
+    idx = build_name_index(lex, stopwords=[])
+    return idx.select("term_norm", "curie", "rank")
+
+
+_FUZZY_NAME_INDEX_SQL = """
+WITH src AS (
+  SELECT p_partkey AS k, lower(p_name) AS name FROM part WHERE p_partkey <= 100
+),
+entries AS (
+  SELECT CASE WHEN k % 2 = 1 THEN 'r-' || name ELSE name || ' x2h2o' END AS term_norm,
+         'CHEBI:' || CAST(k AS VARCHAR) AS curie, 0 AS rank
+  FROM src
+  UNION ALL
+  SELECT name, 'CHEBI:' || CAST(k AS VARCHAR) AS curie, 2 AS rank FROM src
+)
+SELECT term_norm, curie, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term_norm ORDER BY rank, curie) AS rn
+  FROM entries
+) WHERE rn = 1
 """
 
 
@@ -2398,9 +2488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_linking": q_term_linking,
         "mention_scan": q_mention_scan,
         "mention_scan_sharded": q_mention_scan_sharded,
+        "streaming_ingest": q_streaming_ingest,
         "apply_threshold": q_apply_threshold,
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
+        "fuzzy_name_index": q_fuzzy_name_index,
         "xref_routing": q_xref_routing,
         "sanitize_tables": q_sanitize_tables,
         "kgx_roundtrip": q_kgx_roundtrip,
@@ -2459,9 +2551,11 @@ def oracle_sql() -> dict[str, str]:
         "term_linking": _TERM_LINKING_SQL,
         "mention_scan": _MENTION_SCAN_SQL,
         "mention_scan_sharded": _MENTION_SCAN_SQL,
+        "streaming_ingest": _MENTION_SCAN_SQL,
         "apply_threshold": _APPLY_THRESHOLD_SQL,
         "consolidate_category": _consolidate_sql(),
         "name_index": _NAME_INDEX_SQL,
+        "fuzzy_name_index": _FUZZY_NAME_INDEX_SQL,
         "xref_routing": _XREF_ROUTING_SQL,
         "sanitize_tables": _SANITIZE_TABLES_SQL,
         "kgx_roundtrip": _KGX_ROUNDTRIP_SQL,
