@@ -88,6 +88,60 @@ def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
     )
 
 
+def enrich_synonyms(lexicon: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """N8 synonym enrichment (reference: ontology synonym merge across
+    xref-equivalent entries): per CANONICAL curie, the sorted distinct set
+    of normalized surface forms (label + synonyms) contributed by the
+    canonical row itself AND every secondary row xref-routed to it, plus
+    the total contributing-surface count.
+
+    Skew contract: this is an A3 collect-state aggregation, and at web
+    scale the fan-in is the hub problem in person — the reference's
+    NCBITaxon canonicals receive names from millions of xref'd strain
+    entries, so a plain ``collect_set`` would funnel the hub's entire
+    surface list through ONE reducer. The collect therefore ALWAYS runs
+    through :func:`salted_collect_set` (value-hash salt → disjoint phase-1
+    partials → flatten): ``salt_buckets`` bounds per-reducer state at
+    ~|hub surfaces|/buckets, and for non-hub keys the overhead is one
+    extra shuffle of dimension-sized, pre-shrunk arrays — cheap enough
+    that a fan-in threshold gate (which would itself cost a count job)
+    is not worth its own skew risk. Deprecated rows contribute nothing;
+    a deprecated canonical still receives its secondaries' surfaces
+    (routing is existence-based, matching build_xref_routing).
+
+    Output: (curie, synonyms array<string> sorted, n_surfaces long).
+    """
+    from kg_microbe_spark.operators.salting import salted_collect_set
+
+    active = lexicon.filter(~F.col("deprecated"))
+    surfaces = (
+        active.select(
+            "curie",
+            F.explode(
+                F.concat(
+                    F.array("label"),
+                    F.coalesce("synonyms", F.array().cast("array<string>")),
+                )
+            ).alias("surface"),
+        )
+        .filter(F.col("surface").isNotNull())
+        .select("curie", normalize_name_col(F.col("surface")).alias("surface_norm"))
+        .filter(F.col("surface_norm") != "")
+    )
+    routing = build_xref_routing(lexicon).select("src_curie", "dst_curie")
+    routed = surfaces.join(
+        F.broadcast(routing), surfaces["curie"] == routing["src_curie"], "left"
+    ).select(F.coalesce("dst_curie", surfaces["curie"]).alias("curie"), "surface_norm")
+    return salted_collect_set(
+        routed,
+        ["curie"],
+        "surface_norm",
+        "synonyms",
+        salt_buckets=salt_buckets,
+        count_col="n_surfaces",
+    )
+
+
 def build_xref_routing(lexicon: DataFrame, secondary_prefix: str = "SECONDARY:") -> DataFrame:
     """J9 xref-routing dimension: SECONDARY curie → canonical curie (first
     xref), with the canonical row's label/category for node emission."""

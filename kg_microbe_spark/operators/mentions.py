@@ -27,7 +27,7 @@ The reference's PREGO dictionary (13.9M names) runs with shards≥4.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List
+from typing import Iterable, Iterator, List, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,22 +50,26 @@ class LexiconTooLargeError(ValueError):
 # the same lexicon — a cluster builds the broadcast once per dictionary
 # VERSION and reuses it across every job/micro-batch, so the engine does
 # too. The key is explicit (e.g. the lexicon table's snapshot id): the
-# caller owns the staleness contract, as in any dimension cache.
-_MATCHER_CACHE: dict = {}
+# caller owns the staleness contract, as in any dimension cache. LRU-bounded
+# per application with unpersist+destroy on eviction, so dictionary-version
+# churn in a long-lived session cannot accumulate broadcasts
+# (kg_microbe_spark.caching.SessionVersionCache).
+from kg_microbe_spark.caching import SessionVersionCache, destroy_broadcast
+
+_MATCHER_CACHE = SessionVersionCache(max_per_app=4, on_evict=destroy_broadcast)
 
 
 def _matcher_broadcast(spark, name_index: DataFrame, cache_key: str | None):
+    app_id = spark.sparkContext.applicationId
+    fp = name_index.schema.simpleString()
     if cache_key is not None:
-        key = (spark.sparkContext.applicationId, cache_key)
-        bc = _MATCHER_CACHE.get(key)
+        bc = _MATCHER_CACHE.get(app_id, cache_key, fp)
         if bc is not None:
             return bc
-        for k in [k for k in _MATCHER_CACHE if k[0] != key[0]]:
-            del _MATCHER_CACHE[k]
     patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
     bc = spark.sparkContext.broadcast(build_matcher(patterns))
     if cache_key is not None:
-        _MATCHER_CACHE[(spark.sparkContext.applicationId, cache_key)] = bc
+        _MATCHER_CACHE.put(app_id, cache_key, bc, fp)
     return bc
 
 
@@ -74,9 +78,21 @@ def _scan_with_matcher(
     name_index: DataFrame,
     candidates_only: bool,
     matcher_cache_key: str | None = None,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
+    """The single matcher-scan implementation — batch AND streaming callers
+    share it (streaming passes ``passthrough_cols=("warc_ts",)`` to carry
+    event time through; fields are appended to MENTIONS_SCHEMA with their
+    input types). One code path = one place the broadcast-matcher contract
+    (cache, ceiling, leftmost-longest) can drift."""
+    from pyspark.sql.types import StructType
+
     spark = extracted.sparkSession
     bc = _matcher_broadcast(spark, name_index, matcher_cache_key)
+    passthrough_cols = tuple(passthrough_cols)
+    out_schema = StructType(
+        MENTIONS_SCHEMA.fields + [extracted.schema[c] for c in passthrough_cols]
+    )
 
     import pandas as pd
 
@@ -88,7 +104,8 @@ def _scan_with_matcher(
             surfaces: List[str] = []
             starts: List[int] = []
             ends: List[int] = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            ridx: List[int] = []  # source-row position per match (passthrough)
+            for row_i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
                 if not text:
                     continue
                 norm = normalize_name_py(text)
@@ -97,17 +114,32 @@ def _scan_with_matcher(
                     surfaces.append(surface)
                     starts.append(s)
                     ends.append(e)
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "surface": pd.Series(surfaces, dtype="object"),
-                    "term_norm": pd.Series(surfaces, dtype="object"),
-                    "start": pd.Series(starts, dtype="int32"),
-                    "end": pd.Series(ends, dtype="int32"),
-                }
-            )
+                    ridx.append(row_i)
+            out = {
+                "url": pd.Series(urls, dtype="object"),
+                # surface == term_norm BY CONSTRUCTION: matching runs over
+                # the F1-NORMALIZED text, so the matched span IS the
+                # normalized term and start/end are offsets into that
+                # normalized text, NOT the raw page bytes (raw offsets do
+                # not survive normalization's whitespace/punct collapse).
+                # Both columns are kept because downstream consumers join
+                # on term_norm while reports display surface — today they
+                # coincide; a raw-offset-preserving normalizer would change
+                # only `surface`. Documented in schemas.MENTIONS_SCHEMA.
+                "surface": pd.Series(surfaces, dtype="object"),
+                "term_norm": pd.Series(surfaces, dtype="object"),
+                "start": pd.Series(starts, dtype="int32"),
+                "end": pd.Series(ends, dtype="int32"),
+            }
+            for c in passthrough_cols:
+                # .iloc keeps the source dtype (e.g. datetime64 for
+                # timestamps) — a rebuilt object Series would round-trip
+                # through Arrow with the wrong type on empty batches.
+                out[c] = pdf[c].iloc[ridx].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return extracted.select("url", "text").mapInPandas(_scan, MENTIONS_SCHEMA)
+    cols = ["url", "text", *passthrough_cols]
+    return extracted.select(*cols).mapInPandas(_scan, out_schema)
 
 
 def scan_mentions(
@@ -115,9 +147,11 @@ def scan_mentions(
     name_index: DataFrame,
     max_broadcast_patterns: int | None = MAX_BROADCAST_PATTERNS,
     matcher_cache_key: str | None = None,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """extracted(url,text,…) × name_index → mentions(url, surface,
-    term_norm, start, end). Offsets refer to the normalized text.
+    term_norm, start, end[, *passthrough_cols]). Offsets refer to the
+    NORMALIZED text and surface == term_norm (see schemas.MENTIONS_SCHEMA).
 
     Guarded: pattern sets above ``max_broadcast_patterns`` raise
     :class:`LexiconTooLargeError` instead of silently building a multi-GB
@@ -125,7 +159,11 @@ def scan_mentions(
 
     ``matcher_cache_key``: optional dictionary-version key enabling
     session-scoped reuse of the built+broadcast matcher (see
-    _MATCHER_CACHE); only pass it when the name index is version-stable."""
+    _MATCHER_CACHE); only pass it when the name index is version-stable.
+
+    ``passthrough_cols``: extra input columns carried through per match
+    (streaming uses this for event time — one scan implementation for
+    batch and streams)."""
     if max_broadcast_patterns is not None:
         n_patterns = name_index.select("term_norm").distinct().count()
         if n_patterns > max_broadcast_patterns:
@@ -135,7 +173,11 @@ def scan_mentions(
                 f"{-(-n_patterns // max_broadcast_patterns)}) — see SCALE.md"
             )
     return _scan_with_matcher(
-        extracted, name_index, candidates_only=False, matcher_cache_key=matcher_cache_key
+        extracted,
+        name_index,
+        candidates_only=False,
+        matcher_cache_key=matcher_cache_key,
+        passthrough_cols=passthrough_cols,
     )
 
 

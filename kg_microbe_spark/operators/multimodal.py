@@ -97,10 +97,14 @@ def parse_image_header(payload: bytes) -> tuple:
             if marker == 0xFF:  # fill byte before a marker
                 i += 1
                 continue
+            if marker == 0xD9:  # EOI — terminal, carries no length field
+                break
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length field
                 continue
             (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if seglen < 2:  # length includes its own 2 bytes — smaller is
+                break  # corrupt and would stall/jump the cursor into noise
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 > n:
                     break
@@ -173,6 +177,79 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+# Deterministic format rotation used by media_from_keys / the driver entry:
+# the byte layout of each container header is a pure function of
+# (format, width, height), so mime/width/height/status become relationally
+# derivable from the key alone — that is what lets the binary decode be
+# verified against a DuckDB oracle (VERDICT r4 "Next-round #4").
+MEDIA_FORMATS = ("png", "bmp", "gif", "jpeg", "truncated", "missing")
+MEDIA_PAD_TO = 64
+MEDIA_WIDTH_MOD = 499
+MEDIA_HEIGHT_MOD = 653
+
+
+def synth_image_header(fmt: str, width: int, height: int, pad_to: int = MEDIA_PAD_TO) -> bytes | None:
+    """Inverse of :func:`parse_image_header` for test/driver fixtures:
+    valid PNG/BMP/GIF headers, a JPEG with APP0 + a fill byte + SOF0 (so
+    the marker walk, fill-byte skip, and seglen arithmetic all execute),
+    a 16-byte unknown-magic payload (header parse falls through, stub
+    feature still applies), and None (the DecodeNotAvailable stub branch).
+    Padding is a deterministic byte ramp up to ``pad_to``."""
+    import struct
+
+    if fmt == "missing":
+        return None
+    if fmt == "truncated":
+        return b"RIFF\x08\x00\x00\x00WEBP" + b"\x00" * 4  # 16 bytes, no known magic
+    if fmt == "png":
+        head = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", width, height)
+        )
+    elif fmt == "bmp":
+        head = b"BM" + b"\x00" * 16 + struct.pack("<ii", width, height)
+    elif fmt == "gif":
+        head = b"GIF89a" + struct.pack("<HH", width, height)
+    elif fmt == "jpeg":
+        # SOI + APP0(JFIF, seglen 16) + one legal fill byte + SOF0 (seglen
+        # 17; precision, then height/width as BE u16) — dims at +5/+7.
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+        head = b"\xff\xd8" + app0 + sof0
+    else:
+        raise ValueError(f"unknown synth format {fmt!r}")
+    pad = bytes((37 * i) % 251 for i in range(max(pad_to - len(head), 0)))
+    return head + pad
+
+
+def media_from_keys(keys: DataFrame) -> DataFrame:
+    """keys(media_id bigint) → MEDIA_SCHEMA rows with payload bytes that are
+    a pure function of the key: format = MEDIA_FORMATS[media_id % 6],
+    width = 1 + media_id % 499, height = 1 + media_id % 653. Distributed
+    synthesis (mapInPandas) — no driver-side materialization."""
+    import pandas as pd
+
+    def _synth(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "payload", "mime", "width", "height", "duration_sec")}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fmt = MEDIA_FORMATS[mid % len(MEDIA_FORMATS)]
+                w, h = 1 + mid % MEDIA_WIDTH_MOD, 1 + mid % MEDIA_HEIGHT_MOD
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(synth_image_header(fmt, w, h))
+                rows["mime"].append(None)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["duration_sec"].append(None)
+            yield pd.DataFrame(rows)
+
+    return keys.select("media_id").mapInPandas(_synth, MEDIA_SCHEMA)
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:

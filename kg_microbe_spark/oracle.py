@@ -53,6 +53,27 @@ def build_oracle_index(lexicon: List[Dict], stopwords=synthetic.STOPWORDS) -> Di
     return index
 
 
+def oracle_synonyms(lexicon: List[Dict]) -> Dict[str, str]:
+    """Mirrors lexicon.enrich_synonyms: per canonical curie, the
+    pipe-joined sorted distinct set of normalized surfaces (label +
+    synonyms) from the row itself and every secondary xref-routed to it;
+    deprecated rows contribute nothing."""
+    sets: Dict[str, Set[str]] = defaultdict(set)
+    for row in lexicon:
+        if row["deprecated"]:
+            continue
+        target = row["curie"]
+        if target.startswith("SECONDARY:") and row["xrefs"]:
+            target = row["xrefs"][0]
+        for surf in [row["label"]] + list(row["synonyms"]):
+            if surf is None:
+                continue
+            n = normalize_name_py(surf)
+            if n:
+                sets[target].add(n)
+    return {k: "|".join(sorted(v)) for k, v in sets.items()}
+
+
 def _channel(url: str) -> str:
     site = int(url.split("https://site")[1].split(".")[0])
     if site < 8:
@@ -217,12 +238,14 @@ def oracle_edges(n_pages: int, tau: float = 0.0):
             for col in ("relation", "primary_knowledge_source", "knowledge_level", "agent_type"):
                 cur[col] = min(cur[col], e[col])
 
+    syn_map = oracle_synonyms(lexicon)
     nodes = {
         curie: dict(
             id=curie,
             category=node_meta[curie][1],
             name=node_meta[curie][0],
             provided_by=min(srcs),
+            synonym=syn_map.get(curie, ""),
         )
         for curie, srcs in node_sources.items()
     }

@@ -7,14 +7,16 @@ via CheckpointManager make any failed stage resume idempotently.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple  # noqa: F401 — Dict used by _DIM_CACHE
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kg_microbe_spark.caching import SessionVersionCache
+
 from kg_microbe_spark.operators.calibration import apply_threshold, build_cutoffs
 from kg_microbe_spark.operators.extract import dedup_pages_by_url, extract_pages, split_by_lang
-from kg_microbe_spark.operators.lexicon import build_name_index, build_xref_routing
+from kg_microbe_spark.operators.lexicon import build_name_index, build_xref_routing, enrich_synonyms
 from kg_microbe_spark.operators.linking import canonicalize_entities, link_mentions
 from kg_microbe_spark.operators.mentions import aggregate_mentions, scan_mentions
 from kg_microbe_spark.operators.merge import merge_edges, merge_nodes, to_kgx_edges, to_kgx_nodes
@@ -54,7 +56,12 @@ class PipelineResult:
 # semanticHash is not stable across createDataFrame instantiations of
 # identical data — and an implicit key risks silent staleness; with an
 # explicit version the contract is the caller's, as in any dimension cache.
-_DIM_CACHE: Dict[tuple, DataFrame] = {}
+# LRU-bounded per application (dictionary-version churn in a long-lived
+# session must not accumulate LocalRelations) and lock-guarded against
+# concurrent pipeline invocations; the input schema is fingerprinted into
+# each entry so a key reused across a schema change is discarded with a
+# warning instead of silently served (caching.SessionVersionCache).
+_DIM_CACHE = SessionVersionCache(max_per_app=16)
 
 
 def _localize(df: DataFrame, cache_key: Optional[str] = None) -> DataFrame:
@@ -64,18 +71,15 @@ def _localize(df: DataFrame, cache_key: Optional[str] = None) -> DataFrame:
     (session, cache_key) when a key is given — see _DIM_CACHE."""
     spark = df.sparkSession
     app_id = spark.sparkContext.applicationId
+    fp = df.schema.simpleString()
     if cache_key is not None:
-        key = (app_id, cache_key)
-        hit = _DIM_CACHE.get(key)
+        hit = _DIM_CACHE.get(app_id, cache_key, fp)
         if hit is not None:
             return hit
-        # drop entries from dead sessions so long-lived processes don't grow
-        for k in [k for k in _DIM_CACHE if k[0] != app_id]:
-            del _DIM_CACHE[k]
     rows = df.collect()
     out = spark.createDataFrame(rows, df.schema)
     if cache_key is not None:
-        _DIM_CACHE[(app_id, cache_key)] = out
+        _DIM_CACHE.put(app_id, cache_key, out, fp)
     return out
 
 
@@ -132,6 +136,16 @@ def run_pipeline(
     _k = (lambda part: f"{dim_cache_key}/{part}") if dim_cache_key else (lambda part: None)
     name_index = _localize(build_name_index(lexicon, stopwords), _k("name_index"))
     xref_routing = _localize(build_xref_routing(lexicon), _k("xref_routing"))
+    # N8 synonym enrichment — the collect-state aggregation runs through
+    # salted_collect_set (lexicon.py) so a hub canonical's surface fan-in
+    # never funnels through one reducer; the result is dimension-sized and
+    # localized like the other lexicon dims.
+    syn_sets = _localize(
+        enrich_synonyms(lexicon).select(
+            F.col("curie").alias("id"), F.array_join("synonyms", "|").alias("_syn")
+        ),
+        _k("syn_sets"),
+    )
 
     # Stage 3 — MENTIONS (trie scan). The size guard is skipped here: the
     # index was just localized (driver already materialized it), so the
@@ -188,6 +202,13 @@ def run_pipeline(
             "primary_knowledge_source",
             F.concat(F.lit("infores:"), F.regexp_extract("url", r"https://(site\d+)\.", 1)),
         )
+    )
+    node_cols = entity_nodes.columns
+    entity_nodes = (
+        entity_nodes.drop("synonym")
+        .join(F.broadcast(syn_sets), "id", "left")
+        .withColumn("synonym", F.coalesce("_syn", F.lit("")))
+        .select(*node_cols)
     )
 
     # Stage 7 — MERGE

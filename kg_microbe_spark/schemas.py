@@ -90,6 +90,12 @@ NAME_INDEX_SCHEMA = StructType(
 )
 
 # Mentions emitted by the trie scan (Stage 3).
+# Mention-scan contract (operators/mentions.py): matching runs over the
+# F1-NORMALIZED text, so `surface` == `term_norm` (the matched span IS the
+# normalized term) and `start`/`end` are offsets into the normalized text,
+# NOT raw page bytes. `surface` exists as a separate column because a
+# raw-offset-preserving normalizer would change it (and only it); consumers
+# must join on `term_norm` and treat `surface` as display-only.
 MENTIONS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),

@@ -27,66 +27,48 @@ def pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4)
     )
 
 
-def streaming_mentions(pages: DataFrame, name_index: DataFrame) -> DataFrame:
+def streaming_mentions(
+    pages: DataFrame, name_index: DataFrame, matcher_cache_key: str | None = None
+) -> DataFrame:
     """extract → scan, streaming-legal (stateless mapInPandas transforms)."""
     extracted = extract_pages(pages)
-    return scan_mentions(extracted.filter(F.col("lang") == "en"), name_index)
+    return scan_mentions(
+        extracted.filter(F.col("lang") == "en"), name_index, matcher_cache_key=matcher_cache_key
+    )
 
 
-def windowed_mention_counts(pages: DataFrame, name_index: DataFrame, watermark: str = "1 hour", window: str = "1 hour") -> DataFrame:
+def windowed_mention_counts(
+    pages: DataFrame,
+    name_index: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    matcher_cache_key: str | None = None,
+) -> DataFrame:
     """Watermarked tumbling-window counts per term — late captures beyond
     the watermark are dropped deterministically."""
     extracted = extract_pages(pages).withWatermark("warc_ts", watermark)
-    mentions = scan_mentions_with_ts(extracted.filter(F.col("lang") == "en"), name_index)
+    mentions = scan_mentions_with_ts(
+        extracted.filter(F.col("lang") == "en"), name_index, matcher_cache_key=matcher_cache_key
+    )
     return mentions.groupBy(F.window("warc_ts", window), "term_norm").agg(
         F.count("*").alias("n_mentions")
     )
 
 
-def scan_mentions_with_ts(extracted: DataFrame, name_index: DataFrame) -> DataFrame:
-    """scan_mentions variant that carries warc_ts through (streaming needs
-    the event-time column downstream of the scan)."""
-    from typing import Iterable, Iterator, List
-
-    import pandas as pd
-
-    from kg_microbe_spark.functions.automaton import build_matcher
-    from kg_microbe_spark.functions.normalize import normalize_name_py
-    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
-
-    from kg_microbe_spark.operators.mentions import MAX_BROADCAST_PATTERNS, LexiconTooLargeError
-
-    spark = extracted.sparkSession
-    patterns: List[str] = [r.term_norm for r in name_index.select("term_norm").distinct().collect()]
-    if len(patterns) > MAX_BROADCAST_PATTERNS:  # same ceiling as the batch scan (SCALE.md)
-        raise LexiconTooLargeError(
-            f"{len(patterns)} patterns > ceiling {MAX_BROADCAST_PATTERNS}; "
-            "shard the pattern space (scan_mentions_sharded semantics) before streaming"
-        )
-    bc = spark.sparkContext.broadcast(build_matcher(patterns))
-
-    schema = StructType(
-        [
-            StructField("url", StringType(), False),
-            StructField("warc_ts", TimestampType(), False),
-            StructField("term_norm", StringType(), False),
-        ]
-    )
-
-    def _scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac = bc.value
-        for pdf in batches:
-            urls, tss, terms = [], [], []
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                if not text:
-                    continue
-                for _s, _e, surface in ac.find_mentions(normalize_name_py(text)):
-                    urls.append(url)
-                    tss.append(ts)
-                    terms.append(surface)
-            yield pd.DataFrame({"url": urls, "warc_ts": tss, "term_norm": terms})
-
-    return extracted.select("url", "warc_ts", "text").mapInPandas(_scan, schema)
+def scan_mentions_with_ts(
+    extracted: DataFrame, name_index: DataFrame, matcher_cache_key: str | None = None
+) -> DataFrame:
+    """scan_mentions carrying warc_ts through (streaming needs the
+    event-time column downstream of the scan). Thin wrapper over the ONE
+    matcher-scan implementation (operators/mentions.py _scan_with_matcher,
+    ``passthrough_cols``) — same broadcast-matcher cache, same 4M-pattern
+    ceiling, same leftmost-longest semantics as the batch path."""
+    return scan_mentions(
+        extracted,
+        name_index,
+        matcher_cache_key=matcher_cache_key,
+        passthrough_cols=("warc_ts",),
+    ).select("url", "warc_ts", "term_norm")
 
 
 def run_ingest(
@@ -96,10 +78,11 @@ def run_ingest(
     sink_path: str,
     checkpoint_path: str,
     await_seconds: float | None = None,
+    matcher_cache_key: str | None = None,
 ):
     """File-stream → mention parquet sink with exactly-once checkpointing."""
     stream = pages_stream(spark, source_path)
-    mentions = streaming_mentions(stream, name_index)
+    mentions = streaming_mentions(stream, name_index, matcher_cache_key=matcher_cache_key)
     q = (
         mentions.writeStream.format("parquet")
         .option("path", sink_path)

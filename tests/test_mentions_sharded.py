@@ -84,3 +84,45 @@ def test_lexicon_guard_raises(spark):
         scan_mentions(pages, idx, max_broadcast_patterns=3)
     # bypass is explicit
     assert scan_mentions(pages, idx, max_broadcast_patterns=None).count() > 0
+
+
+def test_passthrough_cols_carry_event_time(spark):
+    """The ONE matcher-scan implementation serves streaming too:
+    passthrough_cols appends input columns (typed from the input schema)
+    per match — warc_ts here, exactly what windowed counts need."""
+    import datetime
+
+    idx = _index_df(spark)
+    rows = [
+        (f"u{i}", t, datetime.datetime(2026, 1, 1, i, 0, 0))
+        for i, t in enumerate(TEXTS)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, warc_ts timestamp")
+    out = scan_mentions(pages, idx, passthrough_cols=("warc_ts",))
+    assert out.columns == ["url", "surface", "term_norm", "start", "end", "warc_ts"]
+    assert dict(out.dtypes)["warc_ts"] == "timestamp"
+    got = out.collect()
+    assert got  # non-trivial
+    ts_by_url = {r[0]: r[2] for r in rows}
+    for r in got:
+        assert r.warc_ts == ts_by_url[r.url]  # per-match value = its row's
+    # plain scan over the same pages == passthrough scan minus the column
+    plain = _as_set(scan_mentions(pages.select("url", "text"), idx))
+    assert {(r.url, r.start, r.end, r.surface) for r in got} == plain
+
+
+def test_surface_equals_term_norm_contract(spark):
+    """Honesty contract (schemas.MENTIONS_SCHEMA): matching runs on
+    normalized text, so surface == term_norm and offsets index the
+    NORMALIZED text — pinned so a future raw-surface change is deliberate."""
+    from kg_microbe_spark.functions.normalize import normalize_name_py
+
+    pages = spark.createDataFrame(
+        [("u0", "Escherichia   COLI, in Forest-Soil!")], "url string, text string"
+    )
+    rows = scan_mentions(pages, _index_df(spark)).collect()
+    assert rows
+    norm = normalize_name_py("Escherichia   COLI, in Forest-Soil!")
+    for r in rows:
+        assert r.surface == r.term_norm  # normalized span, not raw bytes
+        assert norm[r.start : r.end] == r.surface  # offsets → normalized text

@@ -58,6 +58,7 @@ def test_nodes_match_oracle(result, expected):
         assert rows[curie].name == n["name"]
         assert rows[curie].category == n["category"]
         assert rows[curie].provided_by == n["provided_by"]
+        assert rows[curie].synonym == n["synonym"]  # N8 salted enrichment
 
 
 def test_drop_report_matches_oracle(result, expected):
