@@ -2583,6 +2583,69 @@ FROM part
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup-cluster assignment — executes the SHIPPED
+    ``connected_components`` (operators/components.py: alternating
+    large-star/small-star, O(log²n) rounds regardless of diameter, O(|E|)
+    shuffle per round — the 100 TB step AFTER LSH that turns near-dup
+    candidate pairs into keep-one-per-cluster decisions; the reference's
+    analogous fixpoint is its xref-equivalence merge). Production
+    composition: ``connected_components(minhash_lsh_candidates(...))``.
+    The driver fixture synthesizes the candidate graph RELATIONALLY from
+    doc_id (the synthetic documents table has no real near-dups — 500
+    unique random-bag texts — and LSH candidate generation already has its
+    own driver rows via minhash/ngram/simhash): 6-hop chains
+    (doc_id ↔ doc_id-1 except at multiples of 7 — forces multi-round star
+    convergence, NOT a one-join shape) plus cross-links
+    (doc_id ↔ doc_id-13 at multiples of 10 — merges chains into larger
+    clusters). cluster_id = min doc_id in the component; chain heads with
+    no links stay their own cluster; the DuckDB oracle labels the same
+    graph with a recursive CTE."""
+    from kg_microbe_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    chain = ids.filter((F.col("doc_id") >= 1) & (F.col("doc_id") % 7 != 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cross = ids.filter((F.col("doc_id") >= 13) & (F.col("doc_id") % 10 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 13).alias("dst")
+    )
+    comp = connected_components(chain.unionByName(cross))
+    labels = (
+        ids.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_id AS doc_a, doc_id - 1 AS doc_b FROM documents
+  WHERE doc_id >= 1 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, doc_id - 13 FROM documents
+  WHERE doc_id >= 13 AND doc_id % 10 = 0
+),
+bidir AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.d, reach.r FROM reach JOIN bidir b ON b.s = reach.n
+),
+labels AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -2622,12 +2685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "json_error_buckets": q_json_error_buckets,
         "graph_stats": q_graph_stats,
         "two_hop_composition": q_two_hop_composition,
         "transitive_closure": q_transitive_closure,
-        "media_preference": q_media_preference,
         "strain_subclass": q_strain_subclass,
         "binned_traits": q_binned_traits,
         "json_dot_path": q_json_dot_path,
@@ -2646,6 +2709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_priority": q_topk_per_priority,
         "anti_join_unordered_parts": q_anti_join_unordered_parts,
         # --- tail: rotated out of the 50-entry driver window this round ---
+        # (media_preference: S13 keeps three in-window twins —
+        # two_hop_composition, strain_subclass, resolve_organism)
+        "media_preference": q_media_preference,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2721,4 +2787,5 @@ def oracle_sql() -> dict[str, str]:
         "rest_fetch": _REST_FETCH_SQL,
         "synonym_enrichment": _SYNONYM_ENRICHMENT_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     }

@@ -1,0 +1,130 @@
+"""Connected components — dedup-cluster assignment over candidate-pair
+graphs (the step after LSH: banded candidates connect near-duplicate docs
+transitively, and the KEEP-one-per-cluster decision needs the component id).
+
+Reference analogue: kg-microbe's merge resolves duplicate entities through
+xref equivalence chains (merge step, SURVEY.md §2.3 J3/J6) — component
+labeling is the same fixpoint generalized to arbitrary undirected candidate
+graphs, sized for the training-data dedup use the task mandates.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) rather than
+min-label propagation. Why it is the 100 TB shape:
+
+- Each round is ONE groupBy(min) + ONE equi-join + distinct over the edge
+  list — shuffle volume stays O(|E|) per round and falls as stars collapse.
+- Convergence is O(log² n) rounds REGARDLESS of graph diameter; plain
+  label propagation needs O(diameter) rounds, and a 100 TB web-dedup graph
+  contains million-hop chain pathologies (boilerplate ladders).
+- Hub safety: a hub node's neighborhood min is computed by the map-side
+  partial min of groupBy — no collected neighbor lists, no per-key state
+  beyond one value.
+- Every round ends in localCheckpoint(eager) to cut lineage (the loop is
+  otherwise an exponentially deepening plan); at cluster scale swap for
+  checkpoint() on the job's checkpoint dir.
+
+Determinism: labels are the component's minimum node id — stable across
+runs/partitionings, so resumes and oracles agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → canonical (u < v), self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _bidir(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to min(N(u) ∪ {u})."""
+    b = _bidir(edges)
+    mins = (
+        b.groupBy("u")
+        .agg(F.min("v").alias("_mnv"))
+        .select("u", F.least("u", "_mnv").alias("_m"))
+    )
+    return _canonical(
+        b.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every SMALLER-or-equal neighbor (and u
+    itself) to min(N_small(u) ∪ {u})."""
+    b = _bidir(edges).filter(F.col("v") < F.col("u"))
+    mins = b.groupBy("u").agg(F.min("v").alias("_m"))  # all v < u, so min < u
+    neigh = b.join(mins, "u").select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    self_edges = mins.select("u", F.col("_m").alias("v"))
+    return _canonical(neigh.unionByName(self_edges))
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """(count, order-independent hash) — convergence test without an
+    exceptAll anti-join. Collision odds over a 64-bit sum are negligible
+    and a false 'converged' is caught by max_iterations semantics anyway
+    (the star transforms are monotone toward the fixpoint)."""
+    # decimal(38,0) sum: ANSI mode makes a long sum of 64-bit hashes an
+    # ARITHMETIC_OVERFLOW error; decimal widening is exact and cheap here.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """edges(src, dst) undirected → (node, component) where component is
+    the MINIMUM node id in the connected component. Isolated endpoints
+    never appear in `edges`; callers wanting labels for isolated nodes
+    left-join this result and coalesce to the node id (the driver entry
+    does exactly that for docs with no candidate pair)."""
+    cur = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = cur.select(F.col("u").alias("node")).unionByName(
+        cur.select(F.col("v").alias("node"))
+    ).distinct()
+
+    sig = _edge_checksum(cur)
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _edge_checksum(cur)
+        if nsig == sig:
+            break
+        sig = nsig
+    # Fixpoint is a star per component: every edge is (component-min, v).
+    # The groupBy-min is defensive: if max_iterations fired before the
+    # fixpoint a node can still carry >1 edge — min keeps the output one
+    # row per node (labels are then an upper approximation, same contract
+    # as any capped iterative operator; 25 rounds ≫ log²(any real graph)).
+    labels = (
+        nodes.join(
+            cur.select(F.col("v").alias("node"), F.col("u").alias("component")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("component", "node")).alias("component"))
+    )
+    return labels
