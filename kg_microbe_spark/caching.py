@@ -73,9 +73,17 @@ class SessionVersionCache:
 
     def put(self, app_id: str, key: str, value: Any, fingerprint: str = "") -> None:
         with self._lock:
+            # Dead-session entries are DROPPED, never on_evict'ed: in local
+            # mode consecutive sessions share one JVM, broadcast ids restart
+            # from 0 per context, and a stale handle's destroy() resolves
+            # through the CURRENT SparkEnv — destroying the dead app's
+            # "broadcast_15" deletes the LIVE app's broadcast_15 blocks
+            # (reproduced: second bench leg failed with
+            # INTERNAL_ERROR_BROADCAST). The dead context already released
+            # its resources when it stopped; dropping the handle is enough.
+            for k in [k for k in self._data if k[0] != app_id]:
+                del self._data[k]
             evicted = []
-            for k in [k for k in self._data if k[0] != app_id]:  # dead sessions
-                evicted.append(self._data.pop(k)[0])
             self._data[(app_id, key)] = (value, fingerprint)
             self._data.move_to_end((app_id, key))
             while sum(1 for k in self._data if k[0] == app_id) > self.max_per_app:

@@ -55,13 +55,22 @@ def test_lru_recency_get_refreshes():
     assert cache.get("app1", "b") is None
 
 
-def test_dead_application_entries_evicted_on_insert():
+def test_dead_application_entries_dropped_without_evictor():
+    """Dead-app entries are DROPPED, never on_evict'ed: in local mode a
+    stale broadcast handle's destroy() resolves through the CURRENT
+    SparkEnv and would delete the live app's same-numbered broadcast
+    blocks (INTERNAL_ERROR_BROADCAST on the next job)."""
     evicted = []
     cache = SessionVersionCache(max_per_app=4, on_evict=evicted.append)
     cache.put("dead-app", "k", "old")
     cache.put("live-app", "k", "new")
     assert cache.get("dead-app", "k") is None
-    assert evicted == ["old"]
+    assert evicted == []  # dropped, NOT destroyed
+    # same-app LRU eviction still releases resources
+    c2 = SessionVersionCache(max_per_app=1, on_evict=evicted.append)
+    c2.put("app", "a", "va")
+    c2.put("app", "b", "vb")
+    assert evicted == ["va"]
 
 
 def test_fingerprint_mismatch_warns_and_discards():
