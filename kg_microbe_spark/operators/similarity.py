@@ -126,6 +126,135 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_cells(
+    df: DataFrame,
+    centroids: List[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """IVF cell assignment: each vector goes to its ``nprobe``
+    highest-cosine centroids. ``centroids`` is a small driver-side list of
+    ``(centroid_id, vector)`` (an IVF codebook is dimension-scale — tens to
+    thousands of entries — so it rides into the plan as array literals,
+    the same broadcast-dimension treatment the lexicon gets).
+
+    100-TB shape: the assignment is a pure map-side JVM expression — an
+    array of (cosine, centroid) structs, ``array_sort`` + ``slice`` for the
+    top-``nprobe`` — NO shuffle, no window, no Python. Writing the corpus
+    ``partitionBy("cell_id")`` afterwards turns every probe into partition
+    pruning, which is the entire point of IVF: a query reads nprobe/K of
+    the corpus instead of all of it."""
+    K = len(centroids)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_col(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("cos"),
+                # ties (never expected vs distinct random centroids) break
+                # toward the SMALLEST centroid id: structs sort
+                # lexicographically, so store K - id and invert on the way out
+                F.lit(K - int(cid)).cast("int").alias("inv"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            v.alias("dv"),
+            F.transform(top, lambda s: F.lit(K) - s["inv"]).alias("_cells"),
+        )
+        .withColumn("cell_id", F.explode("_cells"))
+        .drop("_cells")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: List[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their argmax-cosine cell
+    (nprobe=1); queries probe their ``nprobe`` nearest cells; exact cosine
+    re-rank runs only inside probed cells (an equi-join on cell_id — the
+    candidate set is the cell contents, never the corpus). Self-matches are
+    excluded. ``round_dp`` rounds the cosine before ranking for
+    cross-engine rank stability (same contract as ``lsh_topk``)."""
+    corpus = ivf_cells(embeddings, centroids, id_col, vec_col, nprobe=1, out_id="doc_id")
+    qcells = ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe, out_id="query_id").select(
+        F.col("query_id"), F.col("dv").alias("qv"), "cell_id"
+    )
+    cand = F.broadcast(qcells).join(corpus, "cell_id").filter(F.col("query_id") != F.col("doc_id"))
+    cos = cosine_col(F.col("qv"), F.col("dv"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = cand.select("query_id", "doc_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering: pairs with cosine ≥
+    ``threshold`` form an undirected graph; connected components label each
+    cluster; cluster_id is the minimum member id (the kept canonical — the
+    same keep-lowest convention as the exact/MinHash dedup family).
+
+    ``candidate_pairs`` (src, dst) is the production path: feed LSH-bucket
+    candidates (``lsh_signatures`` equi-join, shuffle ∝ duplicates) so only
+    candidates pay the cosine verify. With ``None`` the operator generates
+    ALL id<id pairs — exact semantics, quadratic in row count, intended for
+    dimension-scale inputs and oracle verification only (the same
+    exact-baseline / LSH-scale-path split as ``brute_force_topk`` vs
+    ``lsh_topk``)."""
+    from .components import connected_components
+
+    v = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    if candidate_pairs is None:
+        # explicit broadcast: a non-equi self-join plans as CartesianProduct
+        # without stats — hint the (dimension-scale) left side so the plan
+        # is BroadcastNestedLoop, mirroring brute_force_topk's baseline
+        a = F.broadcast(v.select(F.col("_id").alias("src"), F.col("_v").alias("va")))
+        b = v.select(F.col("_id").alias("dst"), F.col("_v").alias("vb"))
+        cand = a.join(b, F.col("src") < F.col("dst"))
+    else:
+        a = v.select(F.col("_id").alias("src"), F.col("_v").alias("va"))
+        b = v.select(F.col("_id").alias("dst"), F.col("_v").alias("vb"))
+        cand = (
+            candidate_pairs.select("src", "dst").join(a, "src").join(b, "dst")
+        )
+    edges = cand.filter(cosine_col(F.col("va"), F.col("vb")) >= threshold).select("src", "dst")
+    comp = connected_components(edges)
+    labels = (
+        v.select(F.col("_id").alias(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def pairwise_jaccard(
     df: DataFrame,
     key_col: str,

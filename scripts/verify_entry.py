@@ -64,6 +64,9 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = [n for n in sys.argv[2:] if n in qs]
+    if only:
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         try:

@@ -111,6 +111,52 @@ def test_brute_force_topk_matches_numpy(spark):
         assert got_ids == order, (qid, got_ids, order)
 
 
+def test_ivf_topk_partition_pruned_probe(spark):
+    # two tight clusters on orthogonal axes; centroids are the axes
+    rows = []
+    for i in range(4):  # cluster A -> cell 0
+        rows.append((i, [1.0, 0.05 * i, 0.0, 0.0]))
+    for i in range(4, 8):  # cluster B -> cell 1
+        rows.append((i, [0.0, 0.05 * i, 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    q = df.filter(F.col("vec_id") == 0)
+    # nprobe=1: only cluster-A members (self excluded) are candidates
+    got1 = similarity.ivf_topk(df, q, centroids, k=10, nprobe=1).collect()
+    assert sorted(r.doc_id for r in got1) == [1, 2, 3]
+    # nprobe=2 probes both cells -> full corpus minus self
+    got2 = similarity.ivf_topk(df, q, centroids, k=10, nprobe=2).collect()
+    assert sorted(r.doc_id for r in got2) == [1, 2, 3, 4, 5, 6, 7]
+    # ranking: within cluster A, lower i means closer to [1,0,0,0]
+    ranked = [r.doc_id for r in sorted(got1, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+
+
+def test_ivf_cells_map_side_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    cells = similarity.ivf_cells(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], nprobe=1)
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # assignment must stay map-side
+
+
+def test_embedding_near_dup_clusters(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.98, 0.02, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.99, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in similarity.embedding_near_dup(df, threshold=0.9).collect()}
+    assert {i: got[i].cluster_id for i in range(6)} == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    assert got[0].cluster_size == 3 and got[3].cluster_size == 2 and got[5].cluster_size == 1
+    assert [got[i].is_canonical for i in range(6)] == [True, False, False, True, False, True]
+
+
 def test_lsh_topk_recall(spark):
     import numpy as np
 
