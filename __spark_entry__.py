@@ -2578,6 +2578,124 @@ FROM nation
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of (point-in-time) join — executes the SHIPPED ``asof_join``
+    (operators/temporal.py: tagged-union + per-key window with
+    last(ignorenulls) — ONE shuffle, zero row amplification, vs the naive
+    inequality join that explodes |left|x|right-per-key| then argmaxes).
+    For every `error` event, the latest prior-or-equal `click` by the same
+    user; errors with no prior click keep NULL payload. Oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN` — an independent engine implementation of the
+    same semantics, not a re-statement of ours. The reference has no
+    temporal operators (static ontology snapshots); this is the custom
+    training-data-pipeline family named in the task brief (event
+    attribution / slowly-changing dims)."""
+    from kg_microbe_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("prior_click_id"),
+        F.col("value").alias("prior_click_value"),
+    )
+    return asof_join(
+        errs,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="err_ts",
+        right_ts="click_ts",
+        payload_cols=["prior_click_id", "prior_click_value"],
+    ).select("err_id", "user_id", "prior_click_id", "prior_click_value")
+
+
+_ASOF_JOIN_SQL = """
+WITH errs AS (
+  SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT e.err_id, e.user_id, c.click_id AS prior_click_id,
+       c.value AS prior_click_value
+FROM errs e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming — executes the SHIPPED ``streaming_dedup_first``
+    (streaming/stateful.py: ``applyInPandasWithState`` cross-batch
+    first-seen dedup; per-key boolean state survives micro-batches, state
+    size is one flag per distinct key, never rows). The events table is
+    written as three parquet files holding CONTIGUOUS event_id ranges with
+    strictly increasing mtimes; FileStreamSource processes oldest-first
+    with maxFilesPerTrigger=1, so the first micro-batch containing a user
+    also holds that user's globally minimal event_id — making the
+    first-wins stream output derivable relationally: argmin(event_id) row
+    per user. Green row = the state store suppressed every re-arrival
+    across all three micro-batches."""
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from kg_microbe_spark.streaming.stateful import streaming_dedup_first
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+    n = ev.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "stream_dedup_%s_%s" % (spark.sparkContext.applicationId, uuid.uuid4().hex[:8]),
+    )
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    try:
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+            chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            chunk.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+            _time.sleep(1.1)  # file-source orders batches by mtime (second granularity)
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            streaming_dedup_first(stream, "user_id", "event_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink).select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+            F.col("value").alias("first_value"),
+        )
+        return _local_result(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT e.user_id, e.event_id AS first_event_id,
+       e.event_type AS first_event_type, e.value AS first_value
+FROM events e
+JOIN (SELECT user_id, MIN(event_id) AS m FROM events GROUP BY user_id) g
+  ON e.event_id = g.m
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2776,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_fetch": q_rest_fetch,
         "synonym_enrichment": q_synonym_enrichment,
         "multimodal_decode": q_multimodal_decode,
+        "asof_join_events": q_asof_join_events,
+        "streaming_dedup": q_streaming_dedup,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -2814,9 +2934,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
+        # --- tail: rotated out of the 50-entry driver window this round ---
+        # (topk_per_priority W3: r2+r3+r4-green, top-k windows also in-window
+        # via term_linking/name_index ranks; anti_join_unordered_parts J8:
+        # r2+r3+r4-green, dedup.py:31 also executed by exact_text_dedup —
+        # both displaced for the new asof_join_events/streaming_dedup rows)
         "topk_per_priority": q_topk_per_priority,
         "anti_join_unordered_parts": q_anti_join_unordered_parts,
-        # --- tail: rotated out of the 50-entry driver window this round ---
         # (media_preference: S13 keeps in-window twins two_hop_composition
         # + resolve_organism; strain_subclass r3+r4-green, same twins;
         # json_error_buckets r3+r4-green — F8/JSON via json_dot_path, P3 via
@@ -2847,6 +2971,8 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_suppliers": _TWO_HOP_SQL,
         "dedup_most_complete": _DEDUP_SQL,
         "cumulative_acctbal": _CUMSUM_SQL,
+        "asof_join_events": _ASOF_JOIN_SQL,
+        "streaming_dedup": _STREAMING_DEDUP_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,
