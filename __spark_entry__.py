@@ -2696,6 +2696,77 @@ JOIN (SELECT user_id, MIN(event_id) AS m FROM events GROUP BY user_id) g
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization — executes the SHIPPED ``sessionize``
+    (operators/temporal.py: lag new-session flag + running sum sharing ONE
+    window spec — a single shuffle and per-key sort, no self-join). Events
+    per user split at >600 s silence; session_id is the 0-based per-user
+    session ordinal. Oracle re-states the semantics in portable window SQL
+    on DuckDB. Session output is epoch-free (ids only) so the row is
+    timezone-proof under the driver's typed value hash."""
+    from kg_microbe_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, ["user_id"], "ts", 600.0).select(
+        "event_id", "user_id", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flags AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 600.0 THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id,
+       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+FROM flags
+"""
+
+
+def q_time_rollup_events(spark, sf_dir):
+    """Hypertable-style time rollup — executes the SHIPPED ``time_rollup``
+    (operators/temporal.py: date_trunc bucket + native ``rollup`` grouping
+    sets — Expand feeds ONE map-side-combinable hash aggregate; one scan
+    for the whole (hour, event_type) lattice instead of a job per level).
+    Value summed as integer cents with ROUND-before-cast on both engines
+    (DuckDB's double->BIGINT cast rounds, Spark's truncates); the hour
+    bucket is emitted as epoch seconds via the timezone-independent
+    timestamp->long cast."""
+    from kg_microbe_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    rolled = time_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        agg_exprs={
+            "n_rows": F.count(F.lit(1)),
+            "sum_value_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+        bucket="hour",
+    )
+    return rolled.select(
+        F.col("bucket_ts").cast("long").alias("bucket_epoch"),
+        "event_type",
+        F.col("grouping_id").cast("long").alias("grouping_id"),
+        "n_rows",
+        "sum_value_cents",
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch, event_type,
+       CAST(GROUPING_ID(date_trunc('hour', ts), event_type) AS BIGINT) AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY ROLLUP(date_trunc('hour', ts), event_type)
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2896,6 +2967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "asof_join_events": q_asof_join_events,
         "streaming_dedup": q_streaming_dedup,
+        "sessionize_events": q_sessionize_events,
+        "time_rollup_events": q_time_rollup_events,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -2923,8 +2996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_traits": q_binned_traits,
         "json_dot_path": q_json_dot_path,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "compact_curie": q_compact_curie,
-        "sanitize_curie": q_sanitize_curie,
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
@@ -2938,9 +3009,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (topk_per_priority W3: r2+r3+r4-green, top-k windows also in-window
         # via term_linking/name_index ranks; anti_join_unordered_parts J8:
         # r2+r3+r4-green, dedup.py:31 also executed by exact_text_dedup —
-        # both displaced for the new asof_join_events/streaming_dedup rows)
+        # both displaced for the new asof_join_events/streaming_dedup rows;
+        # compact_curie F2 / sanitize_curie F5: r4-green pure string
+        # functions, functions/normalize.py stays in-window via
+        # normalize_names — displaced for sessionize/time_rollup rows)
         "topk_per_priority": q_topk_per_priority,
         "anti_join_unordered_parts": q_anti_join_unordered_parts,
+        "compact_curie": q_compact_curie,
+        "sanitize_curie": q_sanitize_curie,
         # (media_preference: S13 keeps in-window twins two_hop_composition
         # + resolve_organism; strain_subclass r3+r4-green, same twins;
         # json_error_buckets r3+r4-green — F8/JSON via json_dot_path, P3 via
@@ -2973,6 +3049,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_acctbal": _CUMSUM_SQL,
         "asof_join_events": _ASOF_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "time_rollup_events": _TIME_ROLLUP_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

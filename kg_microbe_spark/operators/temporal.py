@@ -25,7 +25,7 @@ coarse time bucket with boundary replication)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -77,3 +77,81 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
     )
     return matched.filter(F.col("_side") == l_side).drop("_side")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows sharing ``key_cols`` whose
+    consecutive ``ts_col`` differences stay <= ``gap_seconds`` share a
+    session. Adds ``session_col`` = 0-based session ordinal per key.
+
+    Spark-first shape: ONE shuffle (the per-key window), two chained
+    window expressions in the same window frame — a new-session flag from
+    ``lag`` then a running ``sum`` of the flags — no self-join, no
+    row amplification. At 100 TB the sort is per-key; a hub key (one user
+    holding a material fraction of events) is the only straggler risk —
+    the same mitigation as every per-key window here: pre-filter bot keys
+    or coarse-bucket them by day before sessionizing.
+
+    The streaming twin of this operator is
+    ``F.session_window(ts, gap)`` in a watermarked streaming groupBy
+    (streaming/ingest.py exercises the windowed-agg surface); this batch
+    form exists because training-data pipelines sessionize *historical*
+    crawls where a deterministic, oracle-checkable result matters."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    ts_type = df.schema[ts_col].dataType.typeName()
+    if ts_type.startswith("timestamp"):
+        # timestamp / timestamp_ntz: ANSI mode forbids casting NTZ to a
+        # numeric, and unix_micros rejects NTZ too; timestampdiff accepts
+        # both and keeps microsecond precision (whole-second diffs would
+        # misclassify fractional gaps straddling the threshold).
+        gap = F.expr(f"timestampdiff(MICROSECOND, `_prev_ts`, `{ts_col}`)") / F.lit(1e6)
+    else:
+        gap = F.col(ts_col).cast("double") - F.col("_prev_ts").cast("double")
+    new_session = F.when(F.col("_prev_ts").isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
+    # Three projections (a window function can't nest inside another's
+    # argument), but ONE Window physical node: same partition + order spec,
+    # so Catalyst collapses both into a single shuffle + per-key sort.
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("_prev_ts", prev_ts)
+        .withColumn("_new_session", new_session)
+        .withColumn(session_col, F.sum("_new_session").over(running) - F.lit(1))
+        .drop("_prev_ts", "_new_session")
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dim_cols: Sequence[str],
+    agg_exprs: Optional[dict] = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Hypertable-style rollup: truncate ``ts_col`` to ``bucket`` and
+    aggregate over GROUPING SETS of (bucket, *dims) — the multi-resolution
+    summary a time-series store materializes continuously, produced here
+    in ONE pass with Spark's native ``rollup`` (Expand + single hash
+    aggregate, map-side combinable; NOT one job per grouping level).
+
+    ``agg_exprs`` maps output name -> Column; default counts rows.
+    Output carries ``grouping_id`` so consumers (and the DuckDB oracle's
+    GROUP BY ROLLUP, which computes the identical lattice) can separate
+    the levels. 100-TB shape: Expand multiplies rows by the number of
+    grouping sets BEFORE the shuffle, but partial aggregation collapses
+    them map-side — the shuffle carries one row per (set, group), same as
+    running the levels separately, with one scan instead of N."""
+    aggs = agg_exprs or {"n_rows": F.count(F.lit(1))}
+    # withColumn (not a narrowing select) so agg_exprs can reference any
+    # input column; Catalyst prunes the unused ones from the scan.
+    return (
+        df.withColumn("bucket_ts", F.date_trunc(bucket, F.col(ts_col)))
+        .rollup("bucket_ts", *dim_cols)
+        .agg(F.grouping_id().alias("grouping_id"), *[c.alias(n) for n, c in aggs.items()])
+    )
