@@ -2767,6 +2767,70 @@ GROUP BY ROLLUP(date_trunc('hour', ts), event_type)
 """
 
 
+def q_interval_price_bands(spark, sf_dir):
+    """Interval (range) join — executes the SHIPPED ``interval_join``
+    (operators/ranges.py: bucket-decomposed equi-join — intervals explode
+    to the buckets they span, points compute ONE bucket, exact-predicate
+    refine after the hash join; a raw lo<=p<hi join would plan
+    BroadcastNestedLoop and cannot be hash-partitioned at 100 TB).
+    Overlapping price bands derived from `nation` ([900+4k, 907+4k) per
+    nationkey) against part.p_retailprice; a part matches every band
+    containing its price. Oracle is the naive theta join — DuckDB can
+    afford it at 2000×25."""
+    from kg_microbe_spark.operators.ranges import interval_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            (900.0 + F.col("n_nationkey") * 4.0).alias("band_lo"),
+            (907.0 + F.col("n_nationkey") * 4.0).alias("band_hi"),
+            F.col("n_name").alias("band_name"),
+        )
+    )
+    return interval_join(
+        part, bands, "p_retailprice", "band_lo", "band_hi", ["band_name"], bucket_width=4.0
+    ).select("p_partkey", "band_name")
+
+
+_INTERVAL_BANDS_SQL = """
+SELECT p.p_partkey, n.n_name AS band_name
+FROM part p
+JOIN nation n
+  ON 900.0 + n.n_nationkey * 4.0 <= p.p_retailprice
+ AND p.p_retailprice < 907.0 + n.n_nationkey * 4.0
+"""
+
+
+def q_hash_split_documents(spark, sf_dir):
+    """Deterministic train/val/test split — executes the SHIPPED
+    ``hash_split`` (operators/sampling.py: md5-60bit(key) mod 10000
+    against cumulative boundaries — a pure narrow map, no shuffle, stable
+    under repartitioning; Spark's seeded sample() changes with partition
+    layout and is the wrong tool for a frozen eval set). Oracle recomputes
+    the identical bucket in DuckDB via the engine-portable
+    conv/substr(md5) == CAST(concat('0x',...)) identity."""
+    from kg_microbe_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("_k")
+    )
+    return hash_split(docs, "_k").select("doc_id", "split")
+
+
+_HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2969,6 +3033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "sessionize_events": q_sessionize_events,
         "time_rollup_events": q_time_rollup_events,
+        "interval_price_bands": q_interval_price_bands,
+        "hash_split_documents": q_hash_split_documents,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -2980,7 +3046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_parse": q_taxonomy_parse,
         "exact_text_dedup": q_exact_text_dedup,
         "minhash_signature": q_minhash_signature,
-        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -2994,7 +3059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_composition": q_two_hop_composition,
         "transitive_closure": q_transitive_closure,
         "binned_traits": q_binned_traits,
-        "json_dot_path": q_json_dot_path,
         "ann_lsh_topk": q_ann_lsh_topk,
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
@@ -3012,11 +3076,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both displaced for the new asof_join_events/streaming_dedup rows;
         # compact_curie F2 / sanitize_curie F5: r4-green pure string
         # functions, functions/normalize.py stays in-window via
-        # normalize_names — displaced for sessionize/time_rollup rows)
+        # normalize_names — displaced for sessionize/time_rollup rows;
+        # ngram_jaccard_docs r3+r4-green (dedup family in-window via
+        # minhash/simhash/dedup_clusters/fingerprint) and json_dot_path
+        # r3+r4-green (JSON parse surface in-window via jsonl_roundtrip +
+        # rest_fetch) — displaced for interval_join/hash_split rows)
         "topk_per_priority": q_topk_per_priority,
         "anti_join_unordered_parts": q_anti_join_unordered_parts,
         "compact_curie": q_compact_curie,
         "sanitize_curie": q_sanitize_curie,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "json_dot_path": q_json_dot_path,
         # (media_preference: S13 keeps in-window twins two_hop_composition
         # + resolve_organism; strain_subclass r3+r4-green, same twins;
         # json_error_buckets r3+r4-green — F8/JSON via json_dot_path, P3 via
@@ -3051,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "time_rollup_events": _TIME_ROLLUP_SQL,
+        "interval_price_bands": _INTERVAL_BANDS_SQL,
+        "hash_split_documents": _HASH_SPLIT_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need reproducible row selection — train/val/
+test splits and fractional downsampling that give the SAME answer on
+every engine, every run, every cluster size. Spark's `sample()` /
+`sampleBy()` are seeded per-partition (repartitioning changes the
+selection) and `rand()` is banned from deterministic pipelines; the
+portable form is a content hash of a stable key:
+
+    bucket = md5_60bit(key) mod resolution
+
+md5-60bit (the first 15 hex chars of md5 as a long) is the repo's
+cross-engine hash (functions/text.py simhash uses the same trick):
+Spark `conv(substring(md5(x),1,15),16,10)` equals DuckDB
+`CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` bit-for-bit, so a
+split computed here is reproducible by ANY system that can md5 — the
+property that matters when the val set must stay frozen across
+re-crawls and engine migrations.
+
+100-TB shape: a pure narrow map — no shuffle, no state, no driver
+participation; splits are stable under repartitioning by construction."""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10000 buckets → 0.01% split granularity; small enough that the
+# 60-bit hash's modulo bias is ~5e-15, far below any split tolerance.
+RESOLUTION = 10_000
+
+
+def hash_bucket(key: Column, resolution: int = RESOLUTION) -> Column:
+    """Deterministic bucket in [0, resolution) from a string key."""
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return h % F.lit(int(resolution))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash. Rows with
+    equal keys are kept or dropped together (sampling is by KEY, the
+    correct unit when duplicate keys must not straddle the boundary)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cut = int(round(fraction * RESOLUTION))
+    return df.filter(hash_bucket(F.col(key_col).cast("string")) < F.lit(cut))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[Tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by key hash; weights must sum to 1.
+    The assignment is a single `when` chain over cumulative bucket
+    boundaries — one narrow projection, no shuffle, stable under
+    repartitioning and incremental arrival (a re-crawled url lands in
+    the same split forever)."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col).cast("string"))
+    expr = None
+    acc = 0.0
+    for name, weight in splits:
+        acc += weight
+        bound = int(round(acc * RESOLUTION))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float rounding could leave the last boundary a hair under
+    # RESOLUTION; the otherwise() pins stragglers to the last split.
+    return df.withColumn(split_col, expr.otherwise(F.lit(splits[-1][0])))
+
+
+def split_counts(df: DataFrame, key_col: str, **kwargs) -> Dict[str, int]:
+    """Convenience: split sizes for quick skew/ratio checks (dimension-
+    scale result; the full frame never leaves the executors)."""
+    rows = hash_split(df, key_col, **kwargs).groupBy("split").count().collect()
+    return {r["split"]: r["count"] for r in rows}
