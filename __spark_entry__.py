@@ -2831,6 +2831,173 @@ FROM (
 """
 
 
+def q_salted_skew_join(spark, sf_dir):
+    """Explicit salted skew join — executes the SHIPPED ``salted_join``
+    (operators/salting.py: dim replicated salt_buckets ways, fact rows
+    spread by hash(row id) % buckets, equi-join on (key, salt) — a hub
+    supplier's lineitems land on `buckets` reducers instead of one; the
+    north rule's explicit-salting clause applied to a JOIN, complementing
+    salted_group_collect's aggregation-state form). Semantics identical
+    to the plain join, which is the oracle."""
+    from kg_microbe_spark.operators.salting import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        s,
+        on=["s_suppkey"],
+        # varies within any hot supplier: the lineitem primary key
+        salt_source_col="l_orderkey",
+        salt_buckets=8,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def q_frequent_tokens(spark, sf_dir):
+    """Heavy hitters — executes the SHIPPED ``frequent_tokens``
+    (operators/heavyhitters.py: per-partition Misra-Gries candidate pass
+    in mapInPandas with NO shuffle, then an exact count of the candidate
+    superset only — shuffle ∝ candidates, not vocabulary; result is
+    EXACT, hence oracle-able as GROUP BY ... HAVING). min_count=900
+    splits the sf0.01 vocabulary (18 tokens above, 13 below)."""
+    from kg_microbe_spark.operators.heavyhitters import frequent_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return frequent_tokens(d, "text", min_count=900, capacity=4096)
+
+
+_FREQUENT_TOKENS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+HAVING COUNT(*) >= 900
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction — executes the SHIPPED ``tfidf_top_terms``
+    (operators/tfidf.py: explode→tf→df, broadcast 1-row N, integer rank
+    key (tf desc, df asc, token) so the per-doc top-k is bit-identical
+    across engines; tfidf emitted as a value column)."""
+    from kg_microbe_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1.0) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rk <= 3
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters — executes the SHIPPED
+    ``repetition_signals`` (operators/repetition.py: explode grams →
+    groupBy(doc, gram) → groupBy(doc), all map-side combinable; bigrams
+    via guarded adjacent-pair transform)."""
+    from kg_microbe_spark.operators.repetition import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
+
+
+_DOC_REPETITION_SQL = """
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+pos0 AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM raw
+),
+pos AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM pos0 WHERE tok <> ''
+),
+uni_tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM pos GROUP BY doc_id, tok),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+         MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_token_share,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) AS dup_token_share
+  FROM uni_tf GROUP BY doc_id
+),
+bg_tf AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+  GROUP BY 1, 2
+),
+bg AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share
+  FROM bg_tf GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tokens, distinct_ratio, top_token_share, dup_token_share,
+       COALESCE(bg.top_bigram_share, 0.0) AS top_bigram_share
+FROM uni LEFT JOIN bg ON uni.doc_id = bg.doc_id
+"""
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Per-stratum deterministic downsampling — executes the SHIPPED
+    ``stratified_hash_sample`` (operators/sampling.py: per-lang md5
+    bucket cuts in one when-chain — narrow map, no shuffle, nested
+    samples under quota growth). Unlisted langs exercise the
+    default_fraction fallback."""
+    from kg_microbe_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_k", F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    )
+    out = stratified_hash_sample(
+        d, "_k", "lang", {"en": 1.0, "de": 0.5, "fr": 0.25}, default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3035,6 +3202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
+        "salted_skew_join": q_salted_skew_join,
+        "frequent_tokens": q_frequent_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "doc_repetition": q_doc_repetition,
+        "stratified_sample_documents": q_stratified_sample_documents,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -3042,17 +3214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_direction": q_canonical_direction,
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
-        "normalize_names": q_normalize_names,
         "taxonomy_parse": q_taxonomy_parse,
         "exact_text_dedup": q_exact_text_dedup,
         "minhash_signature": q_minhash_signature,
-        "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "dedup_clusters": q_dedup_clusters,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "graph_stats": q_graph_stats,
@@ -3067,9 +3236,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_scan": q_mention_scan,
         "mention_scan_sharded": q_mention_scan_sharded,
         "streaming_ingest": q_streaming_ingest,
+        # --- tail: rotated out of the 50-entry driver window this round ---
+        # (normalize_names F1: r2-r4-green, F1 surface still in-window via
+        # fuzzy_name_index lexicon builds + py/col property tests;
+        # simhash_buckets: r3+r4-green, dedup family in-window via
+        # minhash_signature/dedup_clusters/exact_text_dedup/fingerprint;
+        # ann_cosine_topk exact-NN baseline: r2-r4-green, ANN family
+        # in-window via ann_ivf_topk/ann_lsh_topk/embedding_near_dup;
+        # consolidate_category F13 + name_index W4/P5/P10: both r3+r4-green,
+        # lexicon/window surfaces in-window via fuzzy_name_index and
+        # term_linking — all five displaced for the salted_skew_join/
+        # frequent_tokens/tfidf_top_terms/doc_repetition/stratified_sample
+        # rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
-        # --- tail: rotated out of the 50-entry driver window this round ---
+        "normalize_names": q_normalize_names,
+        "simhash_buckets": q_simhash_buckets,
+        "ann_cosine_topk": q_ann_cosine_topk,
         # (topk_per_priority W3: r2+r3+r4-green, top-k windows also in-window
         # via term_linking/name_index ranks; anti_join_unordered_parts J8:
         # r2+r3+r4-green, dedup.py:31 also executed by exact_text_dedup —
@@ -3123,6 +3306,11 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_events": _TIME_ROLLUP_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
+        "salted_skew_join": _SALTED_JOIN_SQL,
+        "frequent_tokens": _FREQUENT_TOKENS_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
+        "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

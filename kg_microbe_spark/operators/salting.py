@@ -30,6 +30,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_source_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (non-broadcastable) ``dim`` side
+    ``salt_buckets`` ways and spread each fact key's rows across those
+    replicas, so a hub key ("E. coli" joined to its ontology row on a large
+    fraction of a web corpus — the NCBITaxon fan-in the north rule's skew
+    clause is about) lands on ``salt_buckets`` reducers instead of one.
+
+    Semantics are EXACTLY ``facts.join(dim, on, how)`` for ``inner`` and
+    ``left`` joins: every fact row carries one salt value and meets the one
+    dim replica with that salt, so no duplicates and no misses.
+
+    The fact salt is ``hash(salt_source_col) % salt_buckets`` — NOT random
+    (resume/retry-safe, stable under repartitioning). Pass a column that
+    varies WITHIN a hot key (a row id, url, or line number); a column
+    constant per key degenerates to the unsalted placement.
+
+    Use when the dim side is too big to broadcast AND AQE skew splitting
+    can't see the skew (e.g. the skewed side is freshly exploded or AQE is
+    off). Cost: dim shuffles ``salt_buckets``× — bounded and chosen, unlike
+    the unbounded single-reducer straggler it removes. Reference analogue:
+    the merge/link joins of SURVEY §2.3 (J1/J6) under hub entities."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    assert salt_buckets >= 1
+    on = list(on)
+    overlap = set(facts.columns) & set(dim.columns) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    salt = F.pmod(F.xxhash64(F.col(salt_source_col).cast("string")), F.lit(salt_buckets))
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return f.join(d, on=on + ["_salt"], how=how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame,
     key_cols: Sequence[str],

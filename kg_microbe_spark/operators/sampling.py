@@ -75,6 +75,36 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(splits[-1][0])))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the language/source
+    rebalancing step of a corpus pipeline: keep all `en`, 25% of `pt`, …).
+    Same md5-bucket mechanism as `hash_sample`, with the cut chosen per
+    stratum via one `when` chain — still a pure narrow map, no shuffle,
+    and a row's fate depends only on (key, its stratum's fraction), so
+    growing one stratum's fraction later only ADDS rows (nested samples,
+    the property that keeps eval sets frozen across quota changes).
+    Strata absent from ``fractions`` fall back to ``default_fraction``."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    cut = None
+    for name in sorted(fractions):
+        bound = F.lit(int(round(fractions[name] * RESOLUTION)))
+        cond = F.col(strata_col) == F.lit(name)
+        cut = F.when(cond, bound) if cut is None else cut.when(cond, bound)
+    default_bound = F.lit(int(round(default_fraction * RESOLUTION)))
+    cut = default_bound if cut is None else cut.otherwise(default_bound)
+    return df.filter(hash_bucket(F.col(key_col).cast("string")) < cut)
+
+
 def split_counts(df: DataFrame, key_col: str, **kwargs) -> Dict[str, int]:
     """Convenience: split sizes for quick skew/ratio checks (dimension-
     scale result; the full frame never leaves the executors)."""

@@ -86,6 +86,14 @@ def _is_selective(subtree: str) -> bool:
 def _scans_unfiltered_fact(subtree: str) -> bool:
     if not any(re.search(rf"{t}\.parquet", subtree) for t in FACT_TABLES):
         return False
+    # A broadcast whose ROOT is a keyless (global) aggregate ships at most
+    # one row no matter how big the scanned table is (the tfidf N-docs
+    # scalar) — only the aggregate's output is broadcast, not the scan.
+    # Root-only: a keyless agg deeper inside a wider broadcast subtree
+    # would not bound the broadcast size.
+    lines = [ln for ln in subtree.splitlines() if ln.strip()]
+    if lines and re.match(r"[\s+\-:*]*HashAggregate\(keys=\[\]", lines[0]):
+        return False
     return not _is_selective(subtree)
 
 
