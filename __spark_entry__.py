@@ -2998,6 +2998,104 @@ WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500
 """
 
 
+def q_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed-table co-located join — executes the SHIPPED
+    ``write_bucketed_table`` (sources/bucketed.py): orders and customer
+    are written hash-clustered into the same 4 buckets on custkey, then
+    joined through the catalog — zero Exchange on either side
+    (test_bucketed.py asserts the plan), the write-once/join-many shape
+    that amortizes the fact⋈fact shuffle across crawl cycles at 100 TB.
+    The oracle is the plain join, so the row survives only if the
+    bucketed write+read round-trip loses nothing."""
+    import tempfile
+
+    from kg_microbe_spark.sources.bucketed import drop_table, write_bucketed_table
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tag = "%s_%s" % (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_"),
+        spark.sparkContext.applicationId,
+    )
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    to = tn = None
+    try:
+        to = write_bucketed_table(o, f"b_orders_{tag}", f"{base}/orders", ["o_custkey"], 4)
+        tn = write_bucketed_table(c, f"b_customer_{tag}", f"{base}/customer", ["c_custkey"], 4)
+        joined = spark.table(to).join(
+            spark.table(tn), F.col("o_custkey") == F.col("c_custkey")
+        )
+        return _local_result(
+            joined.groupBy("c_mktsegment").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+            )
+        )
+    finally:
+        for t in (to, tn):
+            if t:
+                drop_table(spark, t)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_pagerank_entities(spark, sf_dir):
+    """Entity centrality — executes the SHIPPED ``pagerank``
+    (operators/pagerank.py: per-iteration edges⋈ranks equi-join +
+    map-side-combinable groupBy(dst), broadcast 1-row N, localCheckpoint
+    lineage cuts; dangling mass not redistributed, matching the oracle).
+    Graph: the orders-derived 37-node multigraph (parallel edges
+    collapse). Oracle: the SAME 3 power-method steps unrolled as CTEs —
+    an independent relational evaluation of the iteration."""
+    from kg_microbe_spark.operators.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 37).alias("src"), (F.col("o_orderkey") % 37).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, "src", "dst", iterations=3, damping=0.85)
+
+
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    # e-notation literals keep DuckDB in DOUBLE (a plain 0.15 parses as
+    # DECIMAL and the whole chain — and the result type — goes decimal);
+    # 1-damping rendered from the same float Python/Spark computes.
+    one_minus_d = f"{1.0 - damping:.17e}"
+    d = f"{damping:.17e}"
+    sql = ["""
+WITH e AS (
+  SELECT DISTINCT o_custkey % 37 AS src, o_orderkey % 37 AS dst
+  FROM orders WHERE o_custkey % 37 <> o_orderkey % 37
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1e0 / cnt AS r FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iterations + 1):
+        sql.append(f""",
+r{k} AS (
+  SELECT nd.id, nd.cnt, ({one_minus_d} / nd.cnt) + {d} * COALESCE(s.m, 0e0) AS r
+  FROM (SELECT id, cnt FROM nodes CROSS JOIN nn) nd
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / deg.d) AS m
+    FROM e JOIN r{k-1} p ON e.src = p.id JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON nd.id = s.id
+)""")
+    sql.append(f"\nSELECT id, r AS rank FROM r{iterations}")
+    return "".join(sql)
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3207,17 +3305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_repetition": q_doc_repetition,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "bucketed_colocated_join": q_bucketed_colocated_join,
+        "pagerank_entities": q_pagerank_entities,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
-        "pairwise_jaccard": q_pairwise_jaccard,
         "canonical_direction": q_canonical_direction,
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
         "taxonomy_parse": q_taxonomy_parse,
         "exact_text_dedup": q_exact_text_dedup,
         "minhash_signature": q_minhash_signature,
-        "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -3245,11 +3343,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via ann_ivf_topk/ann_lsh_topk/embedding_near_dup;
         # consolidate_category F13 + name_index W4/P5/P10: both r3+r4-green,
         # lexicon/window surfaces in-window via fuzzy_name_index and
-        # term_linking — all five displaced for the salted_skew_join/
-        # frequent_tokens/tfidf_top_terms/doc_repetition/stratified_sample
-        # rows)
+        # term_linking; token_counts: r2-r4-green narrow map, text family
+        # in-window via lang_id/quality_score/frequent_tokens/tfidf/
+        # doc_repetition; pairwise_jaccard A4: r2-r4-green three rounds,
+        # set-overlap/similarity family in-window via embedding_near_dup +
+        # ann_ivf/ann_lsh — all seven displaced for the salted_skew_join/
+        # frequent_tokens/tfidf_top_terms/doc_repetition/stratified_sample/
+        # bucketed_colocated_join/pagerank_entities rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
+        "token_counts": q_token_counts,
+        "pairwise_jaccard": q_pairwise_jaccard,
         "normalize_names": q_normalize_names,
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3311,6 +3415,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
+        "bucketed_colocated_join": _BUCKETED_JOIN_SQL,
+        "pagerank_entities": _pagerank_sql(iterations=3, damping=0.85),
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,
