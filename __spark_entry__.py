@@ -3096,6 +3096,128 @@ r{k} AS (
     return "".join(sql)
 
 
+def q_melt_part_traits(spark, sf_dir):
+    """Wide→long trait melt — executes the SHIPPED ``melt_trait_columns``
+    (operators/binning.py: DataFrame.unpivot, a pure narrow map — no
+    shuffle, no per-column scans; the reference's metatraits/madin wide
+    trait tables melted to (id, trait, value) rows)."""
+    from kg_microbe_spark.operators.binning import melt_trait_columns
+
+    p = _t(spark, sf_dir, "part")
+    return melt_trait_columns(p, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+_MELT_SQL = """
+SELECT p_partkey, 'p_size' AS trait, CAST(p_size AS DOUBLE) AS trait_value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS trait, CAST(p_retailprice AS DOUBLE) AS trait_value FROM part
+"""
+
+
+def q_group_quantiles_orders(spark, sf_dir):
+    """Exact per-group quantiles — executes the SHIPPED ``group_quantiles``
+    (operators/stats.py: rank/count sharing one window spec — ONE shuffle —
+    then a broadcast join against the |qs|-row literal frame; the exact
+    complement of the A6 histogram CDF)."""
+    from kg_microbe_spark.operators.stats import group_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return group_quantiles(o, ["o_orderpriority"], "o_totalprice", (0.25, 0.5, 0.75, 1.0))
+
+
+_GROUP_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, q, o_totalprice AS quantile_value
+FROM ranked CROSS JOIN (VALUES (2.5e-1), (5e-1), (7.5e-1), (1e0)) AS qs(q)
+WHERE rk = CEIL(q * n)
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus phrase mining — executes the SHIPPED ``pmi_bigrams``
+    (operators/collocations.py: two combinable explode+groupBys, totals
+    as broadcast 1-row aggregates, min_count prunes the bigram frame
+    BEFORE its two vocabulary joins; identical division order on both
+    engines for double parity)."""
+    from kg_microbe_spark.operators.collocations import pmi_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(d, "text", min_count=30)
+
+
+_PMI_SQL = """
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+pos0 AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM raw
+),
+pos AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM pos0 WHERE tok <> ''
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+bgpairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+),
+btot AS (SELECT COUNT(*) AS b FROM bgpairs),
+bg AS (
+  SELECT w1, w2, COUNT(*) AS n FROM bgpairs GROUP BY w1, w2 HAVING COUNT(*) >= 30
+)
+SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n,
+       ln((bg.n / btot.b) / (u1.c / tot.t * (u2.c / tot.t))) AS pmi
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.tok
+JOIN uni u2 ON bg.w2 = u2.tok
+CROSS JOIN tot CROSS JOIN btot
+"""
+
+
+def q_partitioned_pruned_scan(spark, sf_dir):
+    """Partition-pruned scan round-trip — executes the SHIPPED
+    ``write_partitioned_parquet`` (sources/io.py: hive-layout lang=…/
+    directories; the reader's lang filter becomes PartitionFilters —
+    directory-level pruning, asserted in test_partitioned_pruning — the
+    catalog-free form of the north rule's Iceberg partitioning)."""
+    import tempfile
+
+    from kg_microbe_spark.sources.io import read_partitioned_parquet, write_partitioned_parquet
+
+    d = _t(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "part_prune_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId),
+    )
+    try:
+        write_partitioned_parquet(d.select("doc_id", "n_chars", "lang"), base, ["lang"])
+        back = read_partitioned_parquet(spark, base).filter(F.col("lang").isin("en", "de"))
+        return _local_result(
+            back.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_PARTITION_PRUNE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3307,25 +3429,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "bucketed_colocated_join": q_bucketed_colocated_join,
         "pagerank_entities": q_pagerank_entities,
+        "melt_part_traits": q_melt_part_traits,
+        "group_quantiles_orders": q_group_quantiles_orders,
+        "pmi_collocations": q_pmi_collocations,
+        "partitioned_pruned_scan": q_partitioned_pruned_scan,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
         "canonical_direction": q_canonical_direction,
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
-        "taxonomy_parse": q_taxonomy_parse,
         "exact_text_dedup": q_exact_text_dedup,
         "minhash_signature": q_minhash_signature,
-        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "graph_stats": q_graph_stats,
         "two_hop_composition": q_two_hop_composition,
         "transitive_closure": q_transitive_closure,
-        "binned_traits": q_binned_traits,
         "ann_lsh_topk": q_ann_lsh_topk,
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
@@ -3347,13 +3469,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via lang_id/quality_score/frequent_tokens/tfidf/
         # doc_repetition; pairwise_jaccard A4: r2-r4-green three rounds,
         # set-overlap/similarity family in-window via embedding_near_dup +
-        # ann_ivf/ann_lsh — all seven displaced for the salted_skew_join/
-        # frequent_tokens/tfidf_top_terms/doc_repetition/stratified_sample/
-        # bucketed_colocated_join/pagerank_entities rows)
+        # ann_ivf/ann_lsh; taxonomy_parse F11 + lang_id: r2-r4-green pure
+        # column functions with py/col property tests, text family
+        # in-window via quality_score/frequent_tokens/tfidf/doc_repetition;
+        # binned_traits §1.2: r2-r4-green, binning.py stays in-window via
+        # melt_part_traits; graph_stats A7: r2-r4-green, graph family
+        # in-window via pagerank_entities/transitive_closure/dedup_clusters,
+        # A5 via canonical_direction — all eleven displaced for the
+        # salted_skew_join/frequent_tokens/tfidf_top_terms/doc_repetition/
+        # stratified_sample/bucketed_colocated_join/pagerank_entities/
+        # melt_part_traits/group_quantiles_orders/pmi_collocations/
+        # partitioned_pruned_scan rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
         "token_counts": q_token_counts,
         "pairwise_jaccard": q_pairwise_jaccard,
+        "taxonomy_parse": q_taxonomy_parse,
+        "lang_id": q_lang_id,
+        "binned_traits": q_binned_traits,
+        "graph_stats": q_graph_stats,
         "normalize_names": q_normalize_names,
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3417,6 +3551,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "bucketed_colocated_join": _BUCKETED_JOIN_SQL,
         "pagerank_entities": _pagerank_sql(iterations=3, damping=0.85),
+        "melt_part_traits": _MELT_SQL,
+        "group_quantiles_orders": _GROUP_QUANTILES_SQL,
+        "pmi_collocations": _PMI_SQL,
+        "partitioned_pruned_scan": _PARTITION_PRUNE_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

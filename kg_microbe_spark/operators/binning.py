@@ -79,3 +79,27 @@ def classify_binned(
     r = F.broadcast(ranges.select("lo", "hi", F.col("label").alias(label_col)))
     v = F.col(value_col)
     return df.join(r, (v >= F.col("lo")) & (v < F.col("hi")), "left").drop("lo", "hi")
+
+
+def melt_trait_columns(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    trait_col: str = "trait",
+    value_col: str = "trait_value",
+) -> DataFrame:
+    """Wide→long unpivot of per-trait columns — the shape of the
+    reference's metatraits/madin wide tables (one column per trait,
+    melted to (organism, trait, value) rows before edge emission;
+    metatraits.py's per-column loops over trait headers).
+
+    Spark-first: ``DataFrame.unpivot`` — a pure NARROW map (each input
+    row expands to |value_cols| output rows in place, no shuffle, no
+    Python), exactly what a per-column driver loop would cost |cols|
+    scans to do. Values are cast to double (unpivot requires one value
+    type; traits here are quantitative — string traits melt separately)."""
+    casted = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    return casted.unpivot(list(id_cols), list(value_cols), trait_col, value_col)

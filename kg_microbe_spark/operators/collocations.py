@@ -1,0 +1,75 @@
+"""PMI bigram collocations — corpus-level phrase mining.
+
+Pointwise mutual information over adjacent token pairs finds the
+multiword units ("new york", "machine learning") a lexicon/tokenizer
+pipeline should treat as one term — the corpus-statistics complement of
+the dictionary-driven mention scan (operators/mentions.py), and the
+standard phrase-induction step of a web-text training pipeline.
+
+    pmi(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) )
+
+Shape: one explode+groupBy for unigrams, one for bigrams (both map-side
+combinable), totals as broadcast 1-row aggregates, then the bigram
+frame joins the unigram counts twice on token — the unigram side is
+vocabulary-sized (dimension-like after aggregation), the bigram side is
+pre-shrunk by its groupBy and by ``min_count`` BEFORE the joins, so
+nothing fact-sized shuffles twice. The PMI expression is written in the
+identical association order on both engines (double divisions, then
+ln) so values agree to the comparison precision."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.functions.text import tokens_col
+from kg_microbe_spark.operators.repetition import _bigrams_col
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus bigram PMI → (w1, w2, n, pmi) for bigrams with
+    count ≥ ``min_count`` (the filter runs before the unigram joins)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥ 1, got {min_count}")
+    toks = tokens_col(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        docs.select(F.explode(_bigrams_col(toks)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= F.lit(int(min_count)))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n",
+        )
+    )
+    t_uni = F.broadcast(uni.agg(F.sum("c").cast("long").alias("_t")))
+    t_big = F.broadcast(
+        docs.select(F.size(_bigrams_col(toks)).alias("k")).agg(F.sum("k").cast("long").alias("_b"))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    return (
+        big.join(c1, on="w1")
+        .join(c2, on="w2")
+        .crossJoin(t_uni)
+        .crossJoin(t_big)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                (F.col("n") / F.col("_b"))
+                / (F.col("_c1") / F.col("_t") * (F.col("_c2") / F.col("_t")))
+            ).alias("pmi"),
+        )
+    )

@@ -51,3 +51,45 @@ def graph_summary(nodes: DataFrame, edges: DataFrame) -> dict:
         "largest_predicate": top_pred[0].predicate if top_pred else None,
         "largest_predicate_count": top_pred[0]["count"] if top_pred else 0,
     }
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    qs=(0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT per-group quantiles → (keys…, q, quantile_value): the value
+    at rank ceil(q·n) in each group's sort order (type-7-free "inverted
+    CDF" definition — a value that exists in the data, deterministic
+    under ties because tied rows carry the same value).
+
+    Shape: ONE shuffle (the window partition), rank + count sharing the
+    window spec, then a broadcast join against the |qs|-row literal
+    frame. At 100 TB per-key exact quantiles are affordable when keys
+    are dimension-like (per-source, per-language); for global quantiles
+    over raw values use the A6 histogram CDF (calibration.py) — exact
+    bin arithmetic, no per-group sort.
+
+    qs must lie in (0, 1]: q→ceil(q·n) hits rank n at q=1 (max), and
+    q=0 is meaningless in this definition (raises)."""
+    from pyspark.sql import Window
+
+    qs = [float(q) for q in qs]
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0,1], got {qs}")
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *key_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(Window.partitionBy(*key_cols)).alias("_n"),
+    )
+    spark = df.sparkSession
+    qdf = F.broadcast(spark.createDataFrame([(q,) for q in qs], "q double"))
+    return (
+        ranked.crossJoin(qdf)
+        .filter(F.col("_rk") == F.ceil(F.col("q") * F.col("_n")))
+        .select(*key_cols, "q", F.col(value_col).alias("quantile_value"))
+    )

@@ -72,3 +72,23 @@ def write_edges(df: DataFrame, path: str) -> None:
         path,
         sort_by=["subject", "predicate", "object"],
     )
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (path/col=value/…) — the
+    poor-man's Iceberg partitioning available without a catalog: a reader
+    filtering on a partition column scans ONLY the matching directories
+    (partition pruning — `PartitionFilters` in the plan, asserted in
+    test_partitioned_pruning). Partition columns should be low-cardinality
+    (lang, source, date bucket); high-cardinality partitioning produces
+    the classic many-small-files failure at scale."""
+    df.write.mode(mode).partitionBy(*list(partition_cols)).parquet(path)
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; partition columns come back as columns
+    (their type is inferred from directory names — cast explicitly when
+    exact types matter downstream)."""
+    return spark.read.parquet(path)
