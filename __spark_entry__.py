@@ -3218,6 +3218,37 @@ GROUP BY lang
 """
 
 
+def q_upsert_latest(spark, sf_dir):
+    """Incremental corpus refresh (MERGE INTO as a batch compaction) —
+    executes the SHIPPED ``upsert_latest`` (operators/merge.py:
+    groupBy(key).agg(max_by(row, (version, src, payload))) — the same
+    skew-absorbing partial-aggregation shape as the A2 merge, latest
+    version wins, updates beat base on ties). Fixture: every 4th
+    customer re-crawled with a bumped balance at version 2."""
+    from kg_microbe_spark.operators.merge import upsert_latest
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(1).cast("long").alias("version")
+    )
+    updates = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("-u")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    return upsert_latest(base, updates, ["c_custkey"], "version")
+
+
+_UPSERT_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN c_name || '-u' ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 4 = 0 THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS version
+FROM customer
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3433,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles_orders": q_group_quantiles_orders,
         "pmi_collocations": q_pmi_collocations,
         "partitioned_pruned_scan": q_partitioned_pruned_scan,
+        "upsert_latest": q_upsert_latest,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -3441,7 +3473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_cutoff": q_histogram_cutoff,
         "exact_text_dedup": q_exact_text_dedup,
         "minhash_signature": q_minhash_signature,
-        "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3475,11 +3506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binned_traits §1.2: r2-r4-green, binning.py stays in-window via
         # melt_part_traits; graph_stats A7: r2-r4-green, graph family
         # in-window via pagerank_entities/transitive_closure/dedup_clusters,
-        # A5 via canonical_direction — all eleven displaced for the
+        # A5 via canonical_direction; quality_score: r2-r4-green pure
+        # column composite, text family in-window via doc_repetition/
+        # tfidf/frequent_tokens — all twelve displaced for the
         # salted_skew_join/frequent_tokens/tfidf_top_terms/doc_repetition/
         # stratified_sample/bucketed_colocated_join/pagerank_entities/
         # melt_part_traits/group_quantiles_orders/pmi_collocations/
-        # partitioned_pruned_scan rows)
+        # partitioned_pruned_scan/upsert_latest rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
         "token_counts": q_token_counts,
@@ -3488,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "binned_traits": q_binned_traits,
         "graph_stats": q_graph_stats,
+        "quality_score": q_quality_score,
         "normalize_names": q_normalize_names,
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3555,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles_orders": _GROUP_QUANTILES_SQL,
         "pmi_collocations": _PMI_SQL,
         "partitioned_pruned_scan": _PARTITION_PRUNE_SQL,
+        "upsert_latest": _UPSERT_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

@@ -91,3 +91,45 @@ def to_kgx_edges(edges: DataFrame) -> DataFrame:
         F.col("url").alias("url"),
     ]
     return edges.select(*base, *extras)
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins upsert (SCD type-1 / compaction merge): one row per key,
+    the highest ``version_col`` wins; at equal version the UPDATES side
+    wins (the re-crawl semantics: a page re-fetched with the same
+    timestamp replaces the stored row). Remaining ties — same key, same
+    version, same side — fall to the payload struct's ordering (nulls
+    smallest), making the result partitioning-independent.
+
+    Same skew-absorbing aggregation shape as the A2 merge above:
+    ``groupBy(key).agg(max_by(row_struct, order_struct))`` — map-side
+    partials absorb hub keys; no window, no one-task-per-key straggler.
+    This is the MERGE INTO of an incremental corpus refresh expressed as
+    a batch operator: base ∪ updates in, compacted table out (the
+    read-side of merge-on-read, runnable as each crawl cycle's
+    compaction job). ``version_col`` must be non-null orderable
+    (timestamp / long); null versions would sort smallest and silently
+    lose — filter or default them upstream."""
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"schemas differ: {sorted(set(base.columns) ^ set(updates.columns))}"
+        )
+    key_cols = list(key_cols)
+    cols = base.columns
+    payload = [c for c in cols if c not in key_cols]
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_src", F.lit(1))
+    )
+    ord_struct = F.struct(
+        F.col(version_col).alias("_v"),
+        F.col("_src").alias("_s"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(payload)],
+    )
+    row_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+    best = tagged.groupBy(*key_cols).agg(F.max_by(row_struct, ord_struct).alias("_r"))
+    return best.select(*[F.col(f"_r.{c}").alias(c) for c in cols])
