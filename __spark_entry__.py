@@ -3249,6 +3249,93 @@ FROM customer
 """
 
 
+def q_set_similarity_join(spark, sf_dir):
+    """Exact Jaccard self-join — executes the SHIPPED ``jaccard_set_join``
+    (operators/setjoin.py: rarest-first canonical order, prefix theorem
+    candidates via equi-join on prefix postings, exact verify — no n²
+    all-pairs and no false negatives, unlike MinHash-LSH). Sets = the
+    distinct first-8 raw tokens per doc (slice BEFORE empty-filter so
+    both engines index identically); the oracle IS the naive all-pairs
+    join, affordable at 500 docs."""
+    from kg_microbe_spark.operators.setjoin import jaccard_set_join
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.slice(F.split(F.lower("text"), r"\s+"), 1, 8), lambda w: F.length(w) > 0
+        ).alias("s"),
+    )
+    return jaccard_set_join(d, "doc_id", "s", 0.5)
+
+
+_SET_JOIN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+')[1:8],
+                                   w -> w <> '')) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jac
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 5e-1
+"""
+
+
+def q_triangle_count_graph(spark, sf_dir):
+    """Triangle counting — executes the SHIPPED ``triangle_count``
+    (operators/triangles.py: degree-ordered orientation bounds wedge
+    generation at O(|E|^1.5) total regardless of hub skew; each triangle
+    closes exactly once). Oracle: the classic a<b<c three-way self-join
+    enumeration — a different algorithm computing the same invariant."""
+    from kg_microbe_spark.operators.triangles import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 60).alias("src"), (F.col("o_orderkey") % 60).alias("dst")
+    )
+    return triangle_count(edges, "src", "dst")
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT LEAST(o_custkey % 60, o_orderkey % 60) AS a,
+                  GREATEST(o_custkey % 60, o_orderkey % 60) AS b
+  FROM orders WHERE o_custkey % 60 <> o_orderkey % 60
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_group_sample_documents(spark, sf_dir):
+    """Fixed-quota eval-set sampling — executes the SHIPPED
+    ``deterministic_group_sample`` (operators/sampling.py: k smallest
+    md5-60bit hashes per stratum, prefix-stable under quota growth,
+    partition-invariant)."""
+    from kg_microbe_spark.operators.sampling import deterministic_group_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_k", F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    )
+    return deterministic_group_sample(d, "_k", "lang", 20).select("doc_id", "lang")
+
+
+_GROUP_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    'doc:' || CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3465,6 +3552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "partitioned_pruned_scan": q_partitioned_pruned_scan,
         "upsert_latest": q_upsert_latest,
+        "set_similarity_join": q_set_similarity_join,
+        "triangle_count_graph": q_triangle_count_graph,
+        "group_sample_documents": q_group_sample_documents,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -3472,14 +3562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
         "exact_text_dedup": q_exact_text_dedup,
-        "minhash_signature": q_minhash_signature,
-        "fingerprint": q_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "two_hop_composition": q_two_hop_composition,
         "transitive_closure": q_transitive_closure,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
@@ -3508,11 +3595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via pagerank_entities/transitive_closure/dedup_clusters,
         # A5 via canonical_direction; quality_score: r2-r4-green pure
         # column composite, text family in-window via doc_repetition/
-        # tfidf/frequent_tokens — all twelve displaced for the
+        # tfidf/frequent_tokens; minhash_signature + fingerprint:
+        # r2-r4-green, dedup family in-window via exact_text_dedup/
+        # dedup_clusters/embedding_near_dup + the NEW exact
+        # set_similarity_join; ann_lsh_topk: r2-r4-green, ANN family
+        # in-window via ann_ivf_topk — all fifteen displaced for the
         # salted_skew_join/frequent_tokens/tfidf_top_terms/doc_repetition/
         # stratified_sample/bucketed_colocated_join/pagerank_entities/
         # melt_part_traits/group_quantiles_orders/pmi_collocations/
-        # partitioned_pruned_scan/upsert_latest rows)
+        # partitioned_pruned_scan/upsert_latest/set_similarity_join/
+        # triangle_count_graph/group_sample_documents rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
         "token_counts": q_token_counts,
@@ -3522,6 +3614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_traits": q_binned_traits,
         "graph_stats": q_graph_stats,
         "quality_score": q_quality_score,
+        "minhash_signature": q_minhash_signature,
+        "fingerprint": q_fingerprint,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "normalize_names": q_normalize_names,
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3590,6 +3685,9 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _PMI_SQL,
         "partitioned_pruned_scan": _PARTITION_PRUNE_SQL,
         "upsert_latest": _UPSERT_SQL,
+        "set_similarity_join": _SET_JOIN_SQL,
+        "triangle_count_graph": _TRIANGLES_SQL,
+        "group_sample_documents": _GROUP_SAMPLE_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,

@@ -105,6 +105,37 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col).cast("string")) < cut)
 
 
+def deterministic_group_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer when the stratum is smaller)
+    — the fixed-quota companion to ``stratified_hash_sample``'s fractions
+    (eval-set construction: "500 docs per language, frozen forever").
+
+    Selection = the k keys with the SMALLEST md5-60bit hash per stratum
+    (tiebreak: key asc — md5 collisions at 60 bits are ~n²/2⁶¹), via one
+    rank window per stratum. Deterministic and engine-portable like the
+    other samplers, but NOT nested under k growth per se — it is
+    PREFIX-STABLE: the top-k set is always a prefix of the same global
+    hash order, so growing k only appends. One shuffle (the window);
+    at corpus scale prefer fraction-based sampling unless the quota
+    semantics are required."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col).cast("string"), resolution=1 << 60)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def split_counts(df: DataFrame, key_col: str, **kwargs) -> Dict[str, int]:
     """Convenience: split sizes for quick skew/ratio checks (dimension-
     scale result; the full frame never leaves the executors)."""
