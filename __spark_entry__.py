@@ -3336,6 +3336,34 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_random_projection_embed(spark, sf_dir):
+    """Embedding dimensionality reduction — executes the SHIPPED
+    ``random_projection_long`` (operators/projection.py: deterministic
+    md5-seeded ±1 sign matrix as a plan literal, one JVM
+    transform/aggregate chain per row — narrow map, no shuffle; the
+    64→8 reduction a downstream ANN index consumes). The oracle
+    recomputes every sign and component from the same seed."""
+    from kg_microbe_spark.operators.projection import random_projection_long
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection_long(e, "vec_id", "embedding", d_in=64, d_out=8, seed=7)
+
+
+_RANDOM_PROJECTION_SQL = """
+WITH comp AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT vec_id, g.j,
+       SUM(val * CASE WHEN CAST(concat('0x', substr(md5(
+                 'rp:7:' || CAST(i - 1 AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1e0 ELSE -1e0 END) AS component
+FROM comp CROSS JOIN generate_series(0, 7) AS g(j)
+GROUP BY vec_id, g.j
+"""
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3555,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_similarity_join": q_set_similarity_join,
         "triangle_count_graph": q_triangle_count_graph,
         "group_sample_documents": q_group_sample_documents,
+        "random_projection_embed": q_random_projection_embed,
         "kg_triples": q_kg_triples,
         "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
@@ -3567,7 +3596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "two_hop_composition": q_two_hop_composition,
         "transitive_closure": q_transitive_closure,
-        "kgx_normalize": q_kgx_normalize,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
@@ -3599,12 +3627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2-r4-green, dedup family in-window via exact_text_dedup/
         # dedup_clusters/embedding_near_dup + the NEW exact
         # set_similarity_join; ann_lsh_topk: r2-r4-green, ANN family
-        # in-window via ann_ivf_topk — all fifteen displaced for the
+        # in-window via ann_ivf_topk; kgx_normalize A9/F6: r2-r4-green,
+        # kgx surface in-window via the kgx/tar round-trips + node_filters
+        # — all sixteen displaced for the
         # salted_skew_join/frequent_tokens/tfidf_top_terms/doc_repetition/
         # stratified_sample/bucketed_colocated_join/pagerank_entities/
         # melt_part_traits/group_quantiles_orders/pmi_collocations/
         # partitioned_pruned_scan/upsert_latest/set_similarity_join/
-        # triangle_count_graph/group_sample_documents rows)
+        # triangle_count_graph/group_sample_documents/
+        # random_projection_embed rows)
         "consolidate_category": q_consolidate_category,
         "name_index": q_name_index,
         "token_counts": q_token_counts,
@@ -3617,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "kgx_normalize": q_kgx_normalize,
         "normalize_names": q_normalize_names,
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3688,6 +3720,7 @@ def oracle_sql() -> dict[str, str]:
         "set_similarity_join": _SET_JOIN_SQL,
         "triangle_count_graph": _TRIANGLES_SQL,
         "group_sample_documents": _GROUP_SAMPLE_SQL,
+        "random_projection_embed": _RANDOM_PROJECTION_SQL,
         "topk_per_priority": _TOPK_SQL,
         "group_collect": _GROUP_COLLECT_SQL,
         "salted_group_collect": _GROUP_COLLECT_SQL,
