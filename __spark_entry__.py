@@ -3336,6 +3336,43 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_sliding_window_events(spark, sf_dir):
+    """Sliding (hopping) event-time windows — executes the SHIPPED
+    ``sliding_window_agg`` (operators/temporal.py: the explicit epoch-
+    arithmetic explode F.window performs internally, ×(w/s) narrow
+    amplification collapsed map-side; integer epoch seconds end-to-end so
+    TIMESTAMP vs NTZ cannot skew the buckets). 10-minute windows hopping
+    every 5 over the events stream, per event_type."""
+    from kg_microbe_spark.operators.temporal import sliding_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        e,
+        "ts",
+        window_sec=600,
+        slide_sec=300,
+        dim_cols=["event_type"],
+        agg_exprs={
+            "n_events": F.count(F.lit(1)),
+            "value_cents": F.sum(_cents(F.col("value"))),
+        },
+    )
+
+
+_SLIDING_WINDOW_SQL = """
+SELECT ws AS window_start_epoch, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       ws + 600 AS window_end_epoch
+FROM (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - g.j * 300 AS ws
+  FROM events CROSS JOIN generate_series(0, 1) AS g(j)
+)
+GROUP BY ws, event_type
+"""
+
+
 def q_random_projection_embed(spark, sf_dir):
     """Embedding dimensionality reduction — executes the SHIPPED
     ``random_projection_long`` (operators/projection.py: deterministic
@@ -3566,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "sessionize_events": q_sessionize_events,
         "time_rollup_events": q_time_rollup_events,
+        "sliding_window_events": q_sliding_window_events,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3600,9 +3638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
         "mention_scan": q_mention_scan,
-        "mention_scan_sharded": q_mention_scan_sharded,
         "streaming_ingest": q_streaming_ingest,
         # --- tail: rotated out of the 50-entry driver window this round ---
+        # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
+        # as the in-window mention_scan — displaced for the new
+        # sliding_window_events row)
+        "mention_scan_sharded": q_mention_scan_sharded,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -3703,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "time_rollup_events": _TIME_ROLLUP_SQL,
+        "sliding_window_events": _SLIDING_WINDOW_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,

@@ -155,3 +155,67 @@ def time_rollup(
         .rollup("bucket_ts", *dim_cols)
         .agg(F.grouping_id().alias("grouping_id"), *[c.alias(n) for n, c in aggs.items()])
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_sec: int,
+    slide_sec: int,
+    dim_cols: Sequence[str] = (),
+    agg_exprs: Optional[dict] = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: every row lands in the
+    window_sec/slide_sec epoch-aligned windows that contain it; output one
+    row per (window_start_epoch, *dims) with ``agg_exprs`` (default row
+    count) plus ``window_end_epoch``.
+
+    Implemented as the explicit explode `F.window` performs internally —
+    each row computes its window_sec/slide_sec candidate starts with pure
+    epoch arithmetic (a narrow ×(w/s) amplification) and the groupBy
+    collapses them map-side — but on INTEGER epoch seconds end to end, so
+    the result is identical for TIMESTAMP and TIMESTAMP_NTZ inputs and
+    reproducible by any engine (the session-timezone trap that made
+    time_rollup above epoch-cast its buckets; `F.window` returns
+    zone-dependent struct bounds). Windows align to the 1970 epoch grid,
+    matching `F.window`'s convention.
+    """
+    if window_sec < 1 or slide_sec < 1:
+        raise ValueError(f"window/slide must be ≥ 1s, got {window_sec}/{slide_sec}")
+    if window_sec % slide_sec != 0:
+        raise ValueError(
+            f"window_sec must be a multiple of slide_sec, got {window_sec}/{slide_sec}"
+        )
+    n = window_sec // slide_sec
+    aggs = agg_exprs or {"n_rows": F.count(F.lit(1))}
+    # timestamp→long truncates to whole epoch seconds and is timezone-
+    # independent for NTZ inputs (same convention as time_rollup's
+    # bucket_epoch; an oracle must floor() before its BIGINT cast —
+    # DuckDB's cast ROUNDS).
+    epoch = F.col(ts_col).cast("timestamp").cast("long").alias("_ep")
+    with_starts = (
+        df.withColumn("_ep", epoch)
+        .withColumn(
+            "window_start_epoch",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda j: F.floor(F.col("_ep") / slide_sec) * slide_sec - j * F.lit(slide_sec),
+                )
+            ),
+        )
+        # containment holds for every candidate by construction (ep-grid
+        # offset < slide, j ≤ n-1 ⇒ offset + j·slide < window); the filter
+        # states the invariant in the plan and guards future edits.
+        .filter(
+            (F.col("window_start_epoch") <= F.col("_ep"))
+            & (F.col("_ep") < F.col("window_start_epoch") + F.lit(window_sec))
+        )
+    )
+    return (
+        with_starts.groupBy("window_start_epoch", *list(dim_cols))
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .withColumn(
+            "window_end_epoch", F.col("window_start_epoch") + F.lit(window_sec)
+        )
+    )
