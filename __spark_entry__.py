@@ -2726,6 +2726,44 @@ FROM flags
 """
 
 
+def q_scd2_user_state(spark, sf_dir):
+    """SCD2 history build — executes the SHIPPED ``scd2_versions``
+    (operators/temporal.py: lag change-flag + run filter + lead/row_number
+    over ONE reused (key, order) window spec — a single Exchange, no
+    self-join). Each user's event_type stream collapses to change
+    intervals with effective_from/to epochs, 0-based version_num, and an
+    is_current flag on the open interval. This is the url × warc_ts page-
+    history shape of the north-star corpus (content versions per recrawled
+    url) exercised on the events table. Epochs truncate via the timezone-
+    independent timestamp→long cast; the oracle floor()s before its
+    BIGINT cast (DuckDB's cast rounds)."""
+    from kg_microbe_spark.operators.temporal import scd2_versions
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2_versions(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+
+
+_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER w = 1
+              OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ts, event_id, event_type FROM flagged WHERE chg = 1
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS effective_from_epoch,
+       CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS effective_to_epoch,
+       CAST(row_number() OVER w2 - 1 AS BIGINT) AS version_num,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_time_rollup_events(spark, sf_dir):
     """Hypertable-style time rollup — executes the SHIPPED ``time_rollup``
     (operators/temporal.py: date_trunc bucket + native ``rollup`` grouping
@@ -3604,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "time_rollup_events": q_time_rollup_events,
         "sliding_window_events": q_sliding_window_events,
+        "scd2_user_state": q_scd2_user_state,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3623,7 +3662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_documents": q_group_sample_documents,
         "random_projection_embed": q_random_projection_embed,
         "kg_triples": q_kg_triples,
-        "dedup_most_complete": q_dedup_most_complete,
         "salted_group_collect": q_salted_group_collect,
         "canonical_direction": q_canonical_direction,
         "evidence_metadata": q_evidence_metadata,
@@ -3642,8 +3680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: rotated out of the 50-entry driver window this round ---
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
-        # sliding_window_events row)
+        # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
+        # four rounds, dedup.py min_by form property-tested against the
+        # window twin and the dedup family in-window via exact_text_dedup/
+        # dedup_clusters — displaced for the new scd2_user_state row)
         "mention_scan_sharded": q_mention_scan_sharded,
+        "dedup_most_complete": q_dedup_most_complete,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -3745,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_SQL,
         "time_rollup_events": _TIME_ROLLUP_SQL,
         "sliding_window_events": _SLIDING_WINDOW_SQL,
+        "scd2_user_state": _SCD2_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,

@@ -157,6 +157,59 @@ def time_rollup(
     )
 
 
+def scd2_versions(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    attr_cols: List[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse the raw
+    per-key observation stream into change intervals. One output row per
+    RUN of identical ``attr_cols`` values per key, carrying
+    ``effective_from_epoch`` (first observation of the run),
+    ``effective_to_epoch`` (start of the next run, NULL for the open
+    current version), ``version_num`` (0-based per key) and ``is_current``.
+
+    This is the page-history shape for a recrawled web corpus (url ×
+    warc_ts → content versions) and the provenance shape for KG node
+    attributes that drift across source releases. The reference rebuilds
+    its ontology tables from scratch per release (SURVEY §2.1 — no
+    incremental path); SCD2 is the incremental-materialization operator a
+    100 TB pipeline needs instead.
+
+    Spark-first shape: two window passes over the SAME (key, order) spec —
+    change-flag via ``lag`` + run filter, then ``lead``/``row_number`` for
+    interval bounds — so the hash partitioning from the first shuffle is
+    reused by the second window (one Exchange in the plan; the
+    mid-pipeline filter only shrinks rows). No self-join, no row
+    amplification; per-key sort is the only skew surface, same mitigation
+    as sessionize above. Epoch outputs use the timezone-independent
+    timestamp→long cast (truncation; oracles must floor() before casting
+    — DuckDB's cast rounds)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first_in_key = F.row_number().over(w) == 1
+    runs = df.withColumn("_chg", F.when(first_in_key, True).otherwise(changed)).filter(
+        F.col("_chg")
+    )
+    return (
+        runs.select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).cast("timestamp").cast("long").alias("effective_from_epoch"),
+            F.lag(F.col(ts_col).cast("timestamp").cast("long"), -1)
+            .over(w)
+            .alias("effective_to_epoch"),
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("version_num"),
+        )
+        .withColumn("is_current", F.col("effective_to_epoch").isNull())
+    )
+
+
 def sliding_window_agg(
     df: DataFrame,
     ts_col: str,
