@@ -3411,6 +3411,89 @@ GROUP BY ws, event_type
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction — executes the SHIPPED ``redact_pii``
+    (operators/redaction.py: regexp_count per class + chained
+    regexp_replace, one whole-stage-codegen projection, zero shuffles —
+    the corpus-release scrub a Common-Crawl pipeline runs on every page).
+    Fixture plants emails / phones / IPv4s into documents.text with pure
+    relational arithmetic on doc_id so the DuckDB oracle reconstructs the
+    identical input; patterns live in the RE2 ∩ java.util.regex common
+    subset so both engines match byte-identically."""
+    from kg_microbe_spark.operators.redaction import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 3 == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    i.cast("string"),
+                    F.lit("@mail.example for data"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((i % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((i % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (i % 256).cast("string"),
+                    F.lit("."),
+                    ((i * 7) % 256).cast("string"),
+                    F.lit(".9 logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(fx, "text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text"
+    )
+
+
+_PII_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example for data'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 logged'
+              ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted_text
+FROM fx
+"""
+
+
 def q_random_projection_embed(spark, sf_dir):
     """Embedding dimensionality reduction — executes the SHIPPED
     ``random_projection_long`` (operators/projection.py: deterministic
@@ -3643,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "sliding_window_events": q_sliding_window_events,
         "scd2_user_state": q_scd2_user_state,
+        "pii_redaction": q_pii_redaction,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3663,7 +3747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embed": q_random_projection_embed,
         "kg_triples": q_kg_triples,
         "salted_group_collect": q_salted_group_collect,
-        "canonical_direction": q_canonical_direction,
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
         "exact_text_dedup": q_exact_text_dedup,
@@ -3686,6 +3769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters — displaced for the new scd2_user_state row)
         "mention_scan_sharded": q_mention_scan_sharded,
         "dedup_most_complete": q_dedup_most_complete,
+        # (canonical_direction P4/A5: r3+r4-green, prego_rows.py also
+        # executed by the in-window evidence_metadata — displaced for the
+        # new pii_redaction row)
+        "canonical_direction": q_canonical_direction,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -3788,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_events": _TIME_ROLLUP_SQL,
         "sliding_window_events": _SLIDING_WINDOW_SQL,
         "scd2_user_state": _SCD2_SQL,
+        "pii_redaction": _PII_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,
