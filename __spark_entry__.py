@@ -3494,6 +3494,126 @@ FROM fx
 """
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization — executes the SHIPPED ``host_col`` /
+    ``registered_domain_col`` / ``normalize_url_col``
+    (functions/urls.py: fragment drop, scheme+authority lowercase,
+    default-port strip, tracking-param removal, query-param sort, empty
+    path → "/" — one whole-stage-codegen projection, zero shuffles; the
+    canonical key the url-dedup stage groups on at crawl scale). Fixture
+    builds mixed-case, ported, tracked, fragmented URLs from doc_id
+    arithmetic so the DuckDB oracle reconstructs the identical input and
+    re-implements the 6-rule contract relationally."""
+    from kg_microbe_spark.functions.urls import (
+        host_col,
+        normalize_url_col,
+        registered_domain_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 9 == 0, F.lit("User:Pw@")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        s(i % 40),
+        F.when(i % 5 == 0, F.lit(".Example.Co.UK")).otherwise(F.lit(".Org")),
+        F.when(
+            i % 7 == 0,
+            F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(i % 11 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit("")).otherwise(F.concat(F.lit("/P/"), s(i % 13))),
+        F.when(i % 4 == 1, F.concat(F.lit("?utm_source=u"), s(i % 5)))
+        .when(
+            i % 4 == 2,
+            F.concat(F.lit("?b="), s(i % 3), F.lit("&utm_campaign=c&a="), s(i % 7)),
+        )
+        .when(i % 4 == 3, F.concat(F.lit("?z=1&y="), s(i % 9)))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.concat(F.lit("#Sec"), s(i % 4))).otherwise(F.lit("")),
+    )
+    fx = d.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    return fx.select(
+        "doc_id",
+        host_col(u).alias("host"),
+        registered_domain_col(u).alias("domain"),
+        normalize_url_col(u).alias("norm_url"),
+    )
+
+
+_URL_NORMALIZE_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 9 = 0 THEN 'User:Pw@' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || 'Site' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '.Example.Co.UK' ELSE '.Org' END)
+         || (CASE WHEN doc_id % 7 = 0
+               THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ''
+             ELSE '/P/' || CAST(doc_id % 13 AS VARCHAR) END)
+         || (CASE WHEN doc_id % 4 = 1
+               THEN '?utm_source=u' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN doc_id % 4 = 2
+               THEN '?b=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&utm_campaign=c&a=' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 4 = 3
+               THEN '?z=1&y=' || CAST(doc_id % 9 AS VARCHAR)
+             ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+               THEN '#Sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+         AS url
+  FROM documents
+), comp AS (
+  SELECT doc_id,
+         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM fx)
+), hostx AS (
+  SELECT doc_id, scheme, auth, rest,
+         string_split(string_split(auth, '@')[-1], ':')[1] AS host,
+         CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                THEN left(auth, length(auth) - 3)
+              WHEN scheme = 'https' AND auth LIKE '%:443'
+                THEN left(auth, length(auth) - 4)
+              ELSE auth END AS nauth,
+         CASE WHEN string_split(rest, '?')[1] = '' THEN '/'
+              ELSE string_split(rest, '?')[1] END AS path,
+         list_sort(list_filter(
+           string_split(CASE WHEN contains(rest, '?')
+                             THEN regexp_extract(rest, '\?(.*)$', 1)
+                             ELSE '' END, '&'),
+           p -> p <> '' AND NOT regexp_matches(
+                  p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=')
+         )) AS params
+  FROM comp
+)
+SELECT doc_id, host,
+       CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+            WHEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                 IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+              THEN string_split(host, '.')[-3] || '.'
+                   || string_split(host, '.')[-2] || '.'
+                   || string_split(host, '.')[-1]
+            ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       END AS domain,
+       scheme || '://' || nauth || path
+       || CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END AS norm_url
+FROM hostx
+"""
+
+
 def q_random_projection_embed(spark, sf_dir):
     """Embedding dimensionality reduction — executes the SHIPPED
     ``random_projection_long`` (operators/projection.py: deterministic
@@ -3727,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_events": q_sliding_window_events,
         "scd2_user_state": q_scd2_user_state,
         "pii_redaction": q_pii_redaction,
+        "url_normalize": q_url_normalize,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3754,7 +3875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "two_hop_composition": q_two_hop_composition,
-        "transitive_closure": q_transitive_closure,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
@@ -3773,6 +3893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # executed by the in-window evidence_metadata — displaced for the
         # new pii_redaction row)
         "canonical_direction": q_canonical_direction,
+        # (transitive_closure J3: r2-r4-green three rounds; the iterative
+        # fixpoint-join family stays in-window via pagerank_entities and
+        # dedup_clusters (alternating-star contraction), J4/J5 SQL hops via
+        # two_hop_composition — displaced for the new url_normalize row)
+        "transitive_closure": q_transitive_closure,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -3876,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_events": _SLIDING_WINDOW_SQL,
         "scd2_user_state": _SCD2_SQL,
         "pii_redaction": _PII_SQL,
+        "url_normalize": _URL_NORMALIZE_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,
