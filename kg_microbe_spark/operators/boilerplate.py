@@ -1,0 +1,64 @@
+"""Cross-document boilerplate line removal (C4-style).
+
+Web pages carry nav bars, cookie banners and footers that repeat across
+a site; C4/Gopher-style corpus builds drop any line that occurs in ≥ N
+distinct documents before training. The reference has no analog (curated
+ontology inputs), so this is one of the LLM-data operators the task
+brief adds as first-class.
+
+Spark-first shape and 100-TB story:
+  1. ``posexplode(split(text, sep))`` — narrow map, no shuffle;
+  2. ``groupBy(line).agg(countDistinct(doc))`` — ONE shuffle keyed by
+     line, map-side partial aggregation eats the hub lines (the whole
+     point: boilerplate lines are by definition the heavy keys, and
+     partial_count shrinks them before the exchange);
+  3. line-frequency join back on the SAME key (``line``) — co-located
+     with the aggregation's output partitioning, and AQE can take the
+     broadcast path when the surviving frequent-line set is small;
+  4. per-doc reassembly via ``collect_list(when(keep, struct(pos,line)))``
+     (nulls skipped → removed lines vanish) + ``array_sort`` on the
+     position — docs whose every line is boilerplate survive with ''.
+Shuffle volume is ∝ lines + one doc-keyed agg; nothing is ever all-pairs
+and no driver-side state exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frequency: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop every line occurring in ≥ ``min_doc_frequency`` distinct
+    documents; return one row per input doc with ``clean_text`` (kept
+    lines re-joined in original order), ``n_kept`` and ``n_removed``.
+
+    Blank lines participate like any other line (a blank line in ≥ N
+    docs is removed) — documented contract, matching the count-based
+    rule rather than special-casing whitespace.
+    """
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("line_docs")
+    )
+    tagged = lines.join(freq, "line").withColumn(
+        "keep", F.col("line_docs") < F.lit(min_doc_frequency)
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+    )
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept_structs, lambda x: x["line"]), sep
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )
