@@ -3494,6 +3494,67 @@ FROM fx
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate removal — executes the SHIPPED
+    ``remove_boilerplate_lines`` (operators/boilerplate.py: posexplode →
+    ONE line-keyed countDistinct agg whose map-side partials eat the hub
+    lines → co-keyed join-back → positional reassembly; the C4-style
+    line-frequency scrub). Fixture wraps each document's unique text in a
+    corpus-wide header, rotating shared footers and a 1-in-4 blank line,
+    all from doc_id arithmetic, so the DuckDB oracle reconstructs the
+    identical input and recomputes the rule relationally."""
+    from kg_microbe_spark.operators.boilerplate import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    nl = F.lit("\n")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Common Header"),
+            nl,
+            F.lit("u"),
+            i.cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            nl,
+            F.when(i % 3 == 0, F.lit("Shared Footer A"))
+            .when(i % 3 == 1, F.lit("Shared Footer B"))
+            .otherwise(F.concat(F.lit("solo "), i.cast("string"))),
+            F.when(i % 4 == 0, nl).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(fx, "doc_id", "text", min_doc_frequency=2)
+
+
+_BOILERPLATE_SQL = """
+WITH fx AS (
+  SELECT doc_id,
+         'Common Header' || chr(10)
+         || 'u' || CAST(doc_id AS VARCHAR) || ' ' || text || chr(10)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'Shared Footer A'
+                  WHEN doc_id % 3 = 1 THEN 'Shared Footer B'
+                  ELSE 'solo ' || CAST(doc_id AS VARCHAR) END)
+         || (CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM fx
+), freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS line_docs FROM lines GROUP BY line
+)
+SELECT l.doc_id,
+       coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                  FILTER (WHERE f.line_docs < 2), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE f.line_docs < 2) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE f.line_docs >= 2) AS BIGINT) AS n_removed
+FROM lines l JOIN freq f USING (line)
+GROUP BY l.doc_id
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization — executes the SHIPPED ``host_col`` /
     ``registered_domain_col`` / ``normalize_url_col``
@@ -3848,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
+        "boilerplate_lines": q_boilerplate_lines,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3870,7 +3932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_collect": q_salted_group_collect,
         "evidence_metadata": q_evidence_metadata,
         "histogram_cutoff": q_histogram_cutoff,
-        "exact_text_dedup": q_exact_text_dedup,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3898,6 +3959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters (alternating-star contraction), J4/J5 SQL hops via
         # two_hop_composition — displaced for the new url_normalize row)
         "transitive_closure": q_transitive_closure,
+        # (exact_text_dedup A1: r2-r4-green three rounds; dedup.py stays
+        # in-window via dedup_clusters, and the hash-groupBy compaction
+        # shape via upsert_latest — displaced for the new boilerplate_lines
+        # row)
+        "exact_text_dedup": q_exact_text_dedup,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4002,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_state": _SCD2_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
+        "boilerplate_lines": _BOILERPLATE_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,
