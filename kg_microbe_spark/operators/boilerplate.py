@@ -8,10 +8,12 @@ brief adds as first-class.
 
 Spark-first shape and 100-TB story:
   1. ``posexplode(split(text, sep))`` — narrow map, no shuffle;
-  2. ``groupBy(line).agg(countDistinct(doc))`` — ONE shuffle keyed by
-     line, map-side partial aggregation eats the hub lines (the whole
-     point: boilerplate lines are by definition the heavy keys, and
-     partial_count shrinks them before the exchange);
+  2. ``groupBy(line).agg(countDistinct(doc))`` — compiles to a
+     (line, doc) dedup exchange then a line-keyed count exchange; a hub
+     boilerplate line is SPREAD across docs on the first key (no
+     straggler), and map-side partial dedup eats in-document repeats
+     before any shuffle (plan-audited: partial_count + two-phase
+     HashAggregate);
   3. line-frequency join back on the SAME key (``line``) — co-located
      with the aggregation's output partitioning, and AQE can take the
      broadcast path when the surviving frequent-line set is small;
