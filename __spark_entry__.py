@@ -3494,6 +3494,72 @@ FROM fx
 """
 
 
+_UNI_SUFFIXES = [
+    "Café au lait",       # precomposed é
+    "Cafe\u0301 au lait",  # decomposed e + combining acute — NFC must converge
+    "naïve Ångström",
+    "Ñandú PIÑATA",
+    "grüße STRASSE",  # ß survives (simple lower, not casefold)
+    "ASCII only",
+]
+
+
+def q_unicode_fold(spark, sf_dir):
+    """Unicode normalization — executes the SHIPPED ``nfc_col`` /
+    ``strip_accents_col`` / ``fold_text_col`` (functions/unicode_norm.py:
+    Arrow-batched pandas_udfs, documented Python boundary since stock
+    Spark's JVM has no ICU normalizer). Oracle = DuckDB's INDEPENDENT
+    utf8proc implementations (nfc_normalize / strip_accents / lower) over
+    the identical fixture — a genuine cross-engine Unicode parity check.
+    Fixture literals are shared bytes: the same Python list interpolates
+    into both the Spark plan and the SQL string."""
+    from kg_microbe_spark.functions.unicode_norm import (
+        fold_text_col,
+        nfc_col,
+        strip_accents_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("W"),
+            i.cast("string"),
+            F.lit(" "),
+            F.element_at(F.array(*[F.lit(s) for s in _UNI_SUFFIXES]), (i % 6 + 1).cast("int")),
+        ).alias("t"),
+    )
+    t = F.col("t")
+    return fx.select(
+        "doc_id",
+        nfc_col(t).alias("nfc_text"),
+        strip_accents_col(t).alias("stripped_text"),
+        fold_text_col(t).alias("folded_text"),
+    )
+
+
+_UNICODE_FOLD_SQL = f"""
+WITH fx AS (
+  SELECT doc_id,
+         'W' || CAST(doc_id AS VARCHAR) || ' ' ||
+         (CASE doc_id % 6
+            WHEN 0 THEN '{_UNI_SUFFIXES[0]}'
+            WHEN 1 THEN '{_UNI_SUFFIXES[1]}'
+            WHEN 2 THEN '{_UNI_SUFFIXES[2]}'
+            WHEN 3 THEN '{_UNI_SUFFIXES[3]}'
+            WHEN 4 THEN '{_UNI_SUFFIXES[4]}'
+            ELSE '{_UNI_SUFFIXES[5]}' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS nfc_text,
+       strip_accents(nfc_normalize(t)) AS stripped_text,
+       lower(strip_accents(nfc_normalize(t))) AS folded_text
+FROM fx
+"""
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-document boilerplate removal — executes the SHIPPED
     ``remove_boilerplate_lines`` (operators/boilerplate.py: posexplode →
@@ -3910,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
+        "unicode_fold": q_unicode_fold,
         "interval_price_bands": q_interval_price_bands,
         "hash_split_documents": q_hash_split_documents,
         "salted_skew_join": q_salted_skew_join,
@@ -3935,7 +4002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "two_hop_composition": q_two_hop_composition,
         "resolve_organism": q_resolve_organism,
         "node_filters": q_node_filters,
         "term_linking": q_term_linking,
@@ -3964,6 +4030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape via upsert_latest — displaced for the new boilerplate_lines
         # row)
         "exact_text_dedup": q_exact_text_dedup,
+        # (two_hop_composition J4/J5: r2-r4-green three rounds; the S13
+        # SQL-over-views surface stays in-window via resolve_organism —
+        # displaced for the new unicode_fold row)
+        "two_hop_composition": q_two_hop_composition,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4069,6 +4139,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
+        "unicode_fold": _UNICODE_FOLD_SQL,
         "interval_price_bands": _INTERVAL_BANDS_SQL,
         "hash_split_documents": _HASH_SPLIT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,
