@@ -3494,6 +3494,66 @@ FROM fx
 """
 
 
+def q_session_window_native(spark, sf_dir):
+    """Engine-native session windows — executes the SHIPPED
+    ``native_session_window`` (operators/temporal.py: Spark's built-in
+    ``F.session_window`` merging-sessions aggregation, the batch twin of
+    the streaming session operator; ONE shuffle on the grouping keys, no
+    self-join). Boundary convention probed and documented: touching
+    windows MERGE (new session iff silence STRICTLY exceeds the gap) —
+    the oracle restates exactly that with integer-microsecond INTERVAL
+    arithmetic, and emits second-truncated epoch longs so the row is
+    timezone-proof under the typed value hash."""
+    from kg_microbe_spark.operators.temporal import native_session_window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = native_session_window(
+        ev,
+        ["user_id"],
+        "ts",
+        600,
+        agg_exprs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+    )
+    # NTZ -> long truncates to whole epoch seconds zone-independently (the
+    # same convention the sliding-window/time-rollup entries use); the
+    # session MERGE still happens at full microsecond precision on both
+    # engines, only the displayed bounds are second-truncated.
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias("start_s"),
+        F.col("session_end").cast("timestamp").cast("long").alias("end_s"),
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+_SESSION_WINDOW_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), nums AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(MAX(ts) + INTERVAL 600 SECOND)) AS BIGINT) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM nums
+GROUP BY user_id, sid
+"""
+
+
 _UNI_SUFFIXES = [
     "Café au lait",       # precomposed é
     "Cafe\u0301 au lait",  # decomposed e + combining acute — NFC must converge
@@ -3973,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "sliding_window_events": q_sliding_window_events,
         "scd2_user_state": q_scd2_user_state,
+        "session_window_native": q_session_window_native,
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4003,7 +4064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "resolve_organism": q_resolve_organism,
-        "node_filters": q_node_filters,
         "term_linking": q_term_linking,
         "mention_scan": q_mention_scan,
         "streaming_ingest": q_streaming_ingest,
@@ -4034,6 +4094,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-over-views surface stays in-window via resolve_organism —
         # displaced for the new unicode_fold row)
         "two_hop_composition": q_two_hop_composition,
+        # (node_filters P6/P8/P9: r3+r4-green; inline Catalyst filter
+        # composition with no module of its own — P8 trust gate stays
+        # in-window via term_linking, P-family filters execute inside
+        # every in-window query — displaced for the new
+        # session_window_native row)
+        "node_filters": q_node_filters,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4136,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_events": _TIME_ROLLUP_SQL,
         "sliding_window_events": _SLIDING_WINDOW_SQL,
         "scd2_user_state": _SCD2_SQL,
+        "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

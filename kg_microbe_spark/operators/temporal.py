@@ -272,3 +272,37 @@ def sliding_window_agg(
             "window_end_epoch", F.col("window_start_epoch") + F.lit(window_sec)
         )
     )
+
+
+def native_session_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    agg_exprs: Optional[dict] = None,
+) -> DataFrame:
+    """Gap-based session aggregation via Spark's BUILT-IN
+    ``F.session_window`` — the engine's own merging-sessions operator (the
+    batch twin of the streaming session window, so the same call works
+    under ``readStream``). Complements :func:`sessionize` above, which
+    labels individual events; this collapses straight to one row per
+    session with ``session_start`` / ``session_end``.
+
+    Boundary convention (probed, not assumed): Spark merges TOUCHING
+    windows — an event exactly ``gap_seconds`` after the previous one
+    EXTENDS the session; only a strictly-greater silence starts a new one
+    (relational restatement: new session iff ts - lag(ts) > gap).
+    ``session_end`` = last event + gap. One shuffle on the grouping keys;
+    the merge is Spark's specialized sessions iterator, no self-join.
+    """
+    aggs = agg_exprs or {"n_rows": F.count(F.lit(1))}
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    out = df.groupBy(*[F.col(k) for k in keys], sw).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return out.select(
+        *keys,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *aggs.keys(),
+    )
