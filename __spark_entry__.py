@@ -3494,6 +3494,57 @@ FROM fx
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff — executes the SHIPPED
+    ``snapshot_diff`` (operators/delta.py: ONE full-outer sort-merge join
+    on the crawl key + a null-safe classification projection — the delta
+    that drives selective re-extraction instead of the reference's full
+    monthly rebuild). New crawl derived relationally from doc_id
+    arithmetic (1-in-7 removed, 1-in-5 re-texted, 25 added) so the DuckDB
+    oracle reconstructs both snapshots and the classification."""
+    from kg_microbe_spark.operators.delta import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    new = (
+        d.filter(i % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(i % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(i < 25).select(
+                (i + 100000).alias("doc_id"),
+                F.concat(F.lit("new page "), i.cast("string")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(d, new, ["doc_id"], compare_cols=["text"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, text FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'new page ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 25
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.text AS old_text, n.text AS new_text
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def q_stream_stream_join(spark, sf_dir):
     """§2.11 stream-stream join — executes the SHIPPED ``run_stream_join``
     (streaming/join.py: two watermarked parquet file-source streams,
@@ -4100,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "session_window_native": q_session_window_native,
         "stream_stream_join": q_stream_stream_join,
+        "snapshot_diff": q_snapshot_diff,
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4130,7 +4182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "resolve_organism": q_resolve_organism,
         "term_linking": q_term_linking,
-        "mention_scan": q_mention_scan,
         "streaming_ingest": q_streaming_ingest,
         # --- tail: rotated out of the 50-entry driver window this round ---
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
@@ -4169,6 +4220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prego_rows.py classifiers have exact byte-parity pytest suites —
         # displaced for the new stream_stream_join row)
         "evidence_metadata": q_evidence_metadata,
+        # (mention_scan N2/A8: r3+r4-green; the in-window streaming_ingest
+        # executes the IDENTICAL extract+scan matcher path and shares this
+        # entry's oracle by construction, and mention_scan_sharded (tail,
+        # r4-green) covers the >4M-pattern variant — displaced for the new
+        # snapshot_diff row)
+        "mention_scan": q_mention_scan,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4273,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_state": _SCD2_SQL,
         "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "stream_stream_join": _STREAM_JOIN_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
