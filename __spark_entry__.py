@@ -3494,6 +3494,72 @@ FROM fx
 """
 
 
+def q_domain_quota_sample(spark, sf_dir):
+    """Per-domain corpus balancing — composes the SHIPPED
+    ``registered_domain_col`` (functions/urls.py) with the SHIPPED
+    ``deterministic_group_sample`` (operators/sampling.py): cap the
+    corpus at k=5 documents per registered domain, the quota rule that
+    stops hub sites from dominating a training mix. Lowercase URL
+    fixture from doc_id arithmetic; oracle recomputes the eTLD+1 and the
+    md5-60bit prefix-stable rank relationally."""
+    from kg_microbe_spark.functions.urls import registered_domain_col
+    from kg_microbe_spark.operators.sampling import deterministic_group_sample
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("site"),
+            (i % 37).cast("string"),
+            F.when(i % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".org")),
+            F.lit("/p"),
+        ).alias("url"),
+    )
+    fx = fx.withColumn("domain", registered_domain_col(F.col("url"))).withColumn(
+        "_k", F.concat(F.lit("doc:"), i.cast("string"))
+    )
+    return deterministic_group_sample(fx, "_k", "domain", 5).select(
+        "doc_id", "domain"
+    )
+
+
+_DOMAIN_QUOTA_SQL = """
+WITH fx AS (
+  SELECT doc_id,
+         string_split(
+           regexp_extract(
+             'https://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || 'site' || CAST(doc_id % 37 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.org' END)
+             || '/p',
+             '^https://([^/]*)', 1),
+           '.') AS labels
+  FROM documents
+), dom AS (
+  SELECT doc_id,
+         CASE WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
+              WHEN labels[-2] || '.' || labels[-1]
+                   IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+                THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM fx
+)
+SELECT doc_id, domain FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY CAST(concat('0x', substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    'doc:' || CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM dom
+) WHERE rk <= 5
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-crawl snapshot diff — executes the SHIPPED
     ``snapshot_diff`` (operators/delta.py: ONE full-outer sort-merge join
@@ -4152,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "stream_stream_join": q_stream_stream_join,
         "snapshot_diff": q_snapshot_diff,
+        "domain_quota_sample": q_domain_quota_sample,
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4175,7 +4242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_documents": q_group_sample_documents,
         "random_projection_embed": q_random_projection_embed,
         "kg_triples": q_kg_triples,
-        "salted_group_collect": q_salted_group_collect,
         "histogram_cutoff": q_histogram_cutoff,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4226,6 +4292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green) covers the >4M-pattern variant — displaced for the new
         # snapshot_diff row)
         "mention_scan": q_mention_scan,
+        # (salted_group_collect A3-salted: r4-green; salting.py stays
+        # in-window via salted_skew_join, the A3 collect shape via
+        # boilerplate_lines' collect_list reassembly, and the same-oracle
+        # group_collect twin sits below — displaced for the new
+        # domain_quota_sample row)
+        "salted_group_collect": q_salted_group_collect,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4331,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "stream_stream_join": _STREAM_JOIN_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "domain_quota_sample": _DOMAIN_QUOTA_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
