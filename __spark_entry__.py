@@ -3494,6 +3494,94 @@ FROM fx
 """
 
 
+def q_corpus_filter(spark, sf_dir):
+    """C4/Gopher-style document filter verdict — composes the SHIPPED
+    ``predict_lang_col`` + ``token_count_col`` + ``quality_score_col``
+    (functions/text.py) into the keep/drop decision with a first-failing-
+    rule reason (lang != en → length band → quality < 0.7) that a corpus
+    release actually applies. One whole-stage-codegen projection, zero
+    shuffles; the oracle recomputes every component relationally (same
+    stopword profiles interpolated into both engines)."""
+    from kg_microbe_spark.functions.text import (
+        predict_lang_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        predict_lang_col(t).alias("lang_pred"),
+        token_count_col(t).alias("n_tokens"),
+        F.round(quality_score_col(t), 2).alias("quality"),
+    )
+    reason = (
+        F.when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(~F.col("n_tokens").between(10, 10000), F.lit("length"))
+        .when(F.col("quality") < 0.7, F.lit("quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "quality",
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("keep"),
+    )
+
+
+def _corpus_filter_sql() -> str:
+    from kg_microbe_spark.functions.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score_exprs = ", ".join(
+        "len(list_filter(toks, w -> w IN (%s))) AS s_%s"
+        % (", ".join("'%s'" % w for w in LANG_STOPWORDS[la]), la)
+        for la in langs
+    )
+    best = "GREATEST(" + ", ".join("s_%s" % la for la in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for la in langs:
+        case += "WHEN s_%s = %s THEN '%s' " % (la, best, la)
+    case += "END"
+    en_stops = ", ".join("'%s'" % w for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH toked AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, toks, {score_exprs} FROM toked
+), comp AS (
+  SELECT doc_id,
+         {case} AS lang_pred,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CAST(
+           (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+           + (CASE WHEN CAST(len(list_filter(toks, w -> w IN ({en_stops}))) AS DOUBLE)
+                        / GREATEST(len(toks), 1) >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                        / GREATEST(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+           + (CASE WHEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                        / GREATEST(len(toks), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.1
+         AS DOUBLE), 2) AS quality
+  FROM scored
+), verdict AS (
+  SELECT doc_id, lang_pred, n_tokens, quality,
+         CASE WHEN lang_pred <> 'en' THEN 'lang'
+              WHEN n_tokens NOT BETWEEN 10 AND 10000 THEN 'length'
+              WHEN quality < 7e-1 THEN 'quality'
+              ELSE 'ok' END AS reason
+  FROM comp
+)
+SELECT doc_id, lang_pred, n_tokens, quality, reason,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM verdict
+"""
+
+
 def q_domain_quota_sample(spark, sf_dir):
     """Per-domain corpus balancing — composes the SHIPPED
     ``registered_domain_col`` (functions/urls.py) with the SHIPPED
@@ -4219,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "snapshot_diff": q_snapshot_diff,
         "domain_quota_sample": q_domain_quota_sample,
+        "corpus_filter": q_corpus_filter,
         "pii_redaction": q_pii_redaction,
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4242,7 +4331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_documents": q_group_sample_documents,
         "random_projection_embed": q_random_projection_embed,
         "kg_triples": q_kg_triples,
-        "histogram_cutoff": q_histogram_cutoff,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4298,6 +4386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # group_collect twin sits below — displaced for the new
         # domain_quota_sample row)
         "salted_group_collect": q_salted_group_collect,
+        # (histogram_cutoff A6/W5/P7: r2-r4-green three rounds; calibration
+        # family rides that history plus apply_threshold's r3+r4 greens —
+        # displaced for the new corpus_filter row)
+        "histogram_cutoff": q_histogram_cutoff,
         # (normalize_names F1: r2-r4-green, F1 surface still in-window via
         # fuzzy_name_index lexicon builds + py/col property tests;
         # simhash_buckets: r3+r4-green, dedup family in-window via
@@ -4404,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_stream_join": _STREAM_JOIN_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "domain_quota_sample": _DOMAIN_QUOTA_SQL,
+        "corpus_filter": _corpus_filter_sql(),
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
