@@ -3494,6 +3494,59 @@ FROM fx
 """
 
 
+def q_kg_negatives(spark, sf_dir):
+    """KG-embedding negative sampling — executes the SHIPPED
+    ``dense_index`` + ``corrupt_triples`` (operators/negatives.py:
+    distributed 0..n-1 entity indexing via bucket-rank + broadcast
+    offsets, seeded md5 object corruption, anti-join positive filter).
+    Positives = supplier located_in nation; vocabulary = the 25 nations;
+    k=2 negatives per triple. The oracle reproduces the (bucket, entity)
+    index order with one global sort and the same md5-60bit draw."""
+    from kg_microbe_spark.operators.negatives import corrupt_triples
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    tri = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+    )
+    ents = n.select(F.col("n_name").alias("entity"))
+    return corrupt_triples(tri, ents, k=2, seed=7).select(
+        "subj", "pred", "neg_obj", "neg_rank"
+    )
+
+
+_KG_NEGATIVES_SQL = """
+WITH tri AS (
+  SELECT s.s_name AS subj, 'located_in' AS pred, n.n_name AS obj
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+), idxed AS (
+  SELECT entity,
+         row_number() OVER (
+           ORDER BY CAST(concat('0x', substr(md5(entity), 1, 15)) AS BIGINT) % 256,
+                    entity
+         ) - 1 AS idx
+  FROM (SELECT DISTINCT n_name AS entity FROM nation)
+), negs AS (
+  SELECT subj, pred, obj, j.j AS neg_rank,
+         CAST(concat('0x', substr(md5(
+           subj || ':' || pred || ':' || obj || ':' || CAST(j.j AS VARCHAR) || ':7'
+         ), 1, 15)) AS BIGINT) % (SELECT COUNT(*) FROM idxed) AS idx
+  FROM tri CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+)
+SELECT g.subj, g.pred, i.entity AS neg_obj, CAST(g.neg_rank AS BIGINT) AS neg_rank
+FROM negs g JOIN idxed i USING (idx)
+WHERE NOT EXISTS (
+  SELECT 1 FROM tri t
+  WHERE t.subj = g.subj AND t.pred = g.pred AND t.obj = i.entity
+)
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """C4/Gopher-style document filter verdict — composes the SHIPPED
     ``predict_lang_col`` + ``token_count_col`` + ``quality_score_col``
@@ -4338,6 +4391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_linking": q_term_linking,
         "streaming_ingest": q_streaming_ingest,
         # --- tail: rotated out of the 50-entry driver window this round ---
+        # (kg_negatives: NEW this round but landed after all 50 window
+        # slots were taken by entries receiving their FIRST driver check;
+        # exact-parity pytest vs a Python md5 reference stands in until
+        # the r6 rotation — first in line)
+        "kg_negatives": q_kg_negatives,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -4497,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "domain_quota_sample": _DOMAIN_QUOTA_SQL,
         "corpus_filter": _corpus_filter_sql(),
+        "kg_negatives": _KG_NEGATIVES_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
