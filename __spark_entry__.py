@@ -4328,6 +4328,451 @@ FROM labels
 """
 
 
+# --- training-data operators added late r5: decontamination, chunking,
+# packing, bloom prefilter, link graph, unigram LM (first in line for the
+# r6 window rotation alongside kg_negatives) ---
+
+DECON_N = 3  # word-n-gram order (13 in production; 3 exercises overlap
+# on the synthetic ~30-word-vocab corpus, where 13-grams never collide)
+
+
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination — executes the SHIPPED
+    ``decontaminate`` (operators/decontamination.py: broadcast semi
+    probe of corpus shingles against the benchmark shingle set, one
+    combinable per-doc count shuffle). Benchmark = every 53rd document;
+    verdict drops any doc sharing a trigram with the benchmark."""
+    from kg_microbe_spark.operators.decontamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 53 == 0)
+    return decontaminate(d, bench, "doc_id", "text", n=DECON_N, max_hits=0)
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {DECON_N} THEN [array_to_string(l, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(1, len(l) - {DECON_N - 2}),
+                     i -> array_to_string(l[i:i+{DECON_N - 1}], ' ')))
+         END AS sh
+  FROM toks
+),
+bset AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 53 = 0),
+dsh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM dsh
+  WHERE shingle IN (SELECT shingle FROM bset) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_shingles,
+       COALESCE(h.n, 0) <= 0 AS keep
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+CHUNK_W, CHUNK_S = 16, 8  # window/stride: overlapping windows on ~40-word docs
+
+
+def q_token_chunking(spark, sf_dir):
+    """Token-window chunking — executes the SHIPPED ``chunk_by_tokens``
+    (operators/chunking.py: one codegen projection + narrow explode,
+    zero shuffles). 16-token windows every 8 tokens."""
+    from kg_microbe_spark.operators.chunking import chunk_by_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_by_tokens(d, "doc_id", "text", window=CHUNK_W, stride=CHUNK_S)
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+nx AS (
+  SELECT doc_id, l, len(l) AS n,
+         CASE WHEN len(l) <= {CHUNK_W} THEN 1
+              ELSE CAST(floor((len(l) - {CHUNK_W} + {CHUNK_S} - 1) / {CHUNK_S}) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+),
+ch AS (SELECT doc_id, l, n, unnest(range(0, n_chunks)) AS i FROM nx)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_W}, n - i * {CHUNK_S}) AS BIGINT) AS n_tokens,
+       array_to_string(l[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}], ' ') AS chunk_text
+FROM ch
+"""
+
+
+PACK_BUDGET, PACK_SHARDS = 100, 8
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Next-fit sequence packing — executes the SHIPPED
+    ``pack_sequences`` (operators/chunking.py: hash-sharded Arrow
+    ``applyInPandas`` next-fit, two ints of state per task). The oracle
+    replays the same deterministic placement with a linear recursive
+    CTE per shard — this is the genuinely-stateful operator family's
+    hard relational check."""
+    from kg_microbe_spark.functions.text import token_count_col
+    from kg_microbe_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("w")
+    )
+    return pack_sequences(
+        d, "doc_id", "w", budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+_PACK_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn FROM base
+),
+pack AS (
+  SELECT id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id,
+         CAST(0 AS BIGINT) AS seq_offset,
+         n_tokens AS running
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.id, o.shard, o.n_tokens, o.rn,
+         CASE WHEN p.running > 0 AND p.running + o.n_tokens > {PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.running > 0 AND p.running + o.n_tokens > {PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE p.running END,
+         CASE WHEN p.running > 0 AND p.running + o.n_tokens > {PACK_BUDGET}
+              THEN o.n_tokens ELSE p.running + o.n_tokens END
+  FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT id, shard, seq_id, seq_offset, n_tokens FROM pack
+"""
+
+
+BLOOM_M, BLOOM_K = 2048, 3
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join prefiltering — executes the SHIPPED
+    ``build_bloom_words`` + ``bloom_probe`` (operators/bloomjoin.py:
+    engine-side bit_or bitmap fold, closure-broadcast word array, pure
+    codegen k-bit test). Dimension = customers with custkey % 17 == 0;
+    the per-priority report exposes the false-positive sliver the exact
+    join would remove — the oracle replays every md5 bit position."""
+    from kg_microbe_spark.operators.bloomjoin import (
+        bloom_probe,
+        build_bloom_words,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_custkey") % 17 == 0).select("c_custkey").distinct()
+    words = build_bloom_words(dim, "c_custkey", m_bits=BLOOM_M, k=BLOOM_K)
+    probed = bloom_probe(o, "o_custkey", words, k=BLOOM_K)
+    flagged = probed.join(
+        F.broadcast(
+            dim.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                "is_match", F.lit(True)
+            )
+        ),
+        "o_custkey",
+        "left",
+    ).withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("is_match").cast("long")).alias("n_match"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_match")).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+_BLOOM_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 17 = 0
+),
+dpos AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {BLOOM_M} AS p
+  FROM dim CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+),
+probe AS (
+  SELECT o_orderpriority, o_custkey,
+    (CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) % {BLOOM_M}
+       IN (SELECT p FROM dpos))
+    AND (CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15)) AS BIGINT) % {BLOOM_M}
+       IN (SELECT p FROM dpos))
+    AND (CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15)) AS BIGINT) % {BLOOM_M}
+       IN (SELECT p FROM dpos)) AS bloom_pass,
+    o_custkey IN (SELECT c_custkey FROM dim) AS is_match
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM probe GROUP BY o_orderpriority
+"""
+
+
+def q_domain_link_graph(spark, sf_dir):
+    """Hyperlink domain graph — executes the SHIPPED
+    ``domain_link_graph`` (operators/linkgraph.py: codegen URL
+    extraction + frozen-PSL eTLD+1 + one combinable pair count).
+    Fixture pages get a deterministic source URL and 1-3 outlinks from
+    doc_id arithmetic; a repeat link to the same domain (every 6th doc)
+    exercises the per-page collapse, a self link (every 8th) the
+    self-edge filter."""
+    from kg_microbe_spark.operators.linkgraph import domain_link_graph
+
+    d = _t(spark, sf_dir, "documents")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("src"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(".example.co.uk")
+            ).otherwise(F.lit(".org")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://out"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/page"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" and http://blog.out"),
+                    ((F.col("doc_id") + 1) % 7).cast("string"),
+                    F.lit(".co.uk/x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" plus https://out"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com/other"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.concat(
+                    F.lit(" self https://src"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".org/here"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_link_graph(fx, "doc_id", "url", "text")
+
+
+_LINKGRAPH_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'src' || CAST(doc_id % 20 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.org' END)
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         text
+         || ' see https://out' || CAST(doc_id % 7 AS VARCHAR) || '.com/page'
+         || (CASE WHEN doc_id % 4 = 0
+               THEN ' and http://blog.out' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.co.uk/x'
+               ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+               THEN ' plus https://out' || CAST(doc_id % 7 AS VARCHAR) || '.com/other'
+               ELSE '' END)
+         || (CASE WHEN doc_id % 8 = 0
+               THEN ' self https://src' || CAST(doc_id % 20 AS VARCHAR) || '.org/here'
+               ELSE '' END)
+         AS text
+  FROM documents
+),
+links AS (
+  SELECT doc_id, url,
+         unnest(list_distinct(regexp_extract_all(text, 'https?://[^\s"''<>]+'))) AS outlink
+  FROM fx
+),
+hosts AS (
+  SELECT doc_id,
+         lower(string_split(string_split(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@')[-1], ':')[1]) AS src_host,
+         lower(string_split(string_split(
+           regexp_extract(outlink, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@')[-1], ':')[1]) AS dst_host
+  FROM links
+),
+doms AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(src_host, '.')) <= 2 THEN src_host
+              WHEN string_split(src_host, '.')[-2] || '.' || string_split(src_host, '.')[-1]
+                   IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+                THEN string_split(src_host, '.')[-3] || '.'
+                     || string_split(src_host, '.')[-2] || '.'
+                     || string_split(src_host, '.')[-1]
+              ELSE string_split(src_host, '.')[-2] || '.' || string_split(src_host, '.')[-1]
+         END AS src_domain,
+         CASE WHEN len(string_split(dst_host, '.')) <= 2 THEN dst_host
+              WHEN string_split(dst_host, '.')[-2] || '.' || string_split(dst_host, '.')[-1]
+                   IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+                THEN string_split(dst_host, '.')[-3] || '.'
+                     || string_split(dst_host, '.')[-2] || '.'
+                     || string_split(dst_host, '.')[-1]
+              ELSE string_split(dst_host, '.')[-2] || '.' || string_split(dst_host, '.')[-1]
+         END AS dst_domain
+  FROM hosts
+),
+per_page AS (
+  SELECT DISTINCT doc_id, src_domain, dst_domain FROM doms
+  WHERE dst_domain <> src_domain
+)
+SELECT src_domain, dst_domain, COUNT(*) AS n_links
+FROM per_page GROUP BY src_domain, dst_domain
+"""
+
+
+def _lm_fixture(d):
+    """documents plus one rare appended token zq{doc_id % 251} — at
+    sf0.01 the rare tokens straddle the min_count=2 vocabulary gate
+    (some appear twice → kept, some once → <unk>), so BOTH scoring
+    branches are driver-verified."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" zq"),
+            (F.col("doc_id") % 251).cast("string"),
+        ).alias("text"),
+    )
+
+
+_LM_FIXTURE_SQL = (
+    "SELECT doc_id, text || ' zq' || CAST(doc_id % 251 AS VARCHAR) AS text"
+    " FROM documents"
+)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus unigram-LM quality score — executes the SHIPPED
+    ``unigram_logprob`` (operators/lm_quality.py: one word-count
+    shuffle, min_count vocabulary gate bounding the broadcast, <unk>
+    smoothing floor, scalar (N,V,unk) broadcast, combinable per-doc
+    mean). Scores rounded to 4 dp on both engines."""
+    from kg_microbe_spark.operators.lm_quality import unigram_logprob
+
+    fx = _lm_fixture(_t(spark, sf_dir, "documents"))
+    return unigram_logprob(fx, "doc_id", "text", alpha=1.0, min_count=2)
+
+
+_UNIGRAM_SQL = f"""
+WITH fx AS ({_LM_FIXTURE_SQL}),
+toks AS (
+  SELECT doc_id, w AS token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM fx
+  ) WHERE w <> ''
+),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) AS vk,
+         CAST(SUM(CASE WHEN c < 2 THEN c ELSE 0 END) AS DOUBLE) AS cunk
+  FROM counts
+),
+probs AS (
+  SELECT token, ln((c + 1e0) / (n + 1e0 * (vk + 1e0))) AS logp
+  FROM counts CROSS JOIN tot WHERE c >= 2
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(COALESCE(p.logp,
+         ln((tot.cunk + 1e0) / (tot.n + 1e0 * (tot.vk + 1e0))))), 4) + 0e0
+         AS mean_logprob
+FROM toks t LEFT JOIN probs p USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+def q_dsir_logratio(spark, sf_dir):
+    """DSIR-style importance log-ratio — executes the SHIPPED
+    ``importance_logratio`` (operators/lm_quality.py: two word-count
+    aggs full-outer joined into ONE min_count-gated broadcast
+    vocabulary with a shared <unk> type, combinable per-doc mean).
+    Target = every 29th document standing in for the curated seed."""
+    from kg_microbe_spark.operators.lm_quality import importance_logratio
+
+    fx = _lm_fixture(_t(spark, sf_dir, "documents"))
+    target = fx.filter(F.col("doc_id") % 29 == 0)
+    return importance_logratio(
+        fx, target, "doc_id", "text", alpha=1.0, min_count=2
+    )
+
+
+_DSIR_SQL = f"""
+WITH fx AS ({_LM_FIXTURE_SQL}),
+ctoks AS (
+  SELECT doc_id, w AS token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM fx
+  ) WHERE w <> ''
+),
+ccx AS (SELECT token, COUNT(*) AS cc FROM ctoks GROUP BY token),
+tcx AS (
+  SELECT token, COUNT(*) AS tc FROM ctoks
+  WHERE doc_id % 29 = 0 GROUP BY token
+),
+j AS (SELECT token, cc, tc FROM ccx FULL OUTER JOIN tcx USING (token)),
+tot AS (
+  SELECT CAST(SUM(COALESCE(cc, 0)) AS DOUBLE) AS nc,
+         CAST(SUM(COALESCE(tc, 0)) AS DOUBLE) AS nt,
+         CAST(SUM(CASE WHEN COALESCE(cc, 0) >= 2 OR tc IS NOT NULL
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS vk,
+         CAST(SUM(CASE WHEN COALESCE(cc, 0) >= 2 OR tc IS NOT NULL
+                       THEN 0 ELSE COALESCE(cc, 0) END) AS DOUBLE) AS ccunk
+  FROM j
+),
+probs AS (
+  SELECT token,
+         ln((COALESCE(tc, 0) + 1e0) / (nt + 1e0 * (vk + 1e0)))
+         - ln((COALESCE(cc, 0) + 1e0) / (nc + 1e0 * (vk + 1e0))) AS lr
+  FROM j CROSS JOIN tot
+  WHERE COALESCE(cc, 0) >= 2 OR tc IS NOT NULL
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(COALESCE(p.lr,
+         ln(1e0 / (tot.nt + 1e0 * (tot.vk + 1e0)))
+         - ln((tot.ccunk + 1e0) / (tot.nc + 1e0 * (tot.vk + 1e0))))), 4)
+         + 0e0 AS mean_logratio
+FROM ctoks t LEFT JOIN probs p USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -4396,6 +4841,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-parity pytest vs a Python md5 reference stands in until
         # the r6 rotation — first in line)
         "kg_negatives": q_kg_negatives,
+        # (NEW late-r5 training-data operators: oracle-checked locally,
+        # queued immediately after kg_negatives for the r6 rotation)
+        "benchmark_decontaminate": q_benchmark_decontaminate,
+        "token_chunking": q_token_chunking,
+        "sequence_packing": q_sequence_packing,
+        "bloom_prefilter": q_bloom_prefilter,
+        "domain_link_graph": q_domain_link_graph,
+        "unigram_logprob": q_unigram_logprob,
+        "dsir_logratio": q_dsir_logratio,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -4556,6 +5010,13 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_sample": _DOMAIN_QUOTA_SQL,
         "corpus_filter": _corpus_filter_sql(),
         "kg_negatives": _KG_NEGATIVES_SQL,
+        "benchmark_decontaminate": _DECONTAM_SQL,
+        "token_chunking": _CHUNK_SQL,
+        "sequence_packing": _PACK_SQL,
+        "bloom_prefilter": _BLOOM_SQL,
+        "domain_link_graph": _LINKGRAPH_SQL,
+        "unigram_logprob": _UNIGRAM_SQL,
+        "dsir_logratio": _DSIR_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

@@ -1,0 +1,168 @@
+"""Corpus-level unigram language-model quality scoring.
+
+The heuristic quality score (functions/text.py:quality_score_col) is
+per-document; production corpus filters (CCNet, Gopher) also rank
+documents by how *typical* their text is under a language model of the
+corpus itself — gibberish and boilerplate score low, fluent prose
+scores high. The cheapest honest version is an add-alpha-smoothed
+unigram LM fit on the corpus and applied back to every document; the
+DSIR variant (``importance_logratio``) scores the RATIO of a curated
+target LM to the corpus LM — the importance weight that data-selection
+resampling uses (Xie et al., arXiv:2302.03169, at unigram order).
+
+Spark-first shape at 100 TB:
+
+1. token counts: one map-side-combinable ``groupBy(token)`` — the same
+   shuffle profile as word count; hub tokens are absorbed by partial
+   aggregation.
+2. vocabulary gate: tokens below ``min_count`` collapse into a single
+   ``<unk>`` type. This is what BOUNDS the vocabulary broadcast —
+   a web corpus has unbounded hapax tail (typos, ids, hashes), and a
+   broadcast of raw counts would grow with the data. The gate is the
+   plan-visible selective filter the repo's broadcast guards require.
+3. (N, V, unk-mass) scalars: one global aggregate (≤1 row) — the
+   plan-guard-sanctioned scalar-broadcast pattern.
+4. scoring join: token→logp is a BROADCAST left join; misses take the
+   ``<unk>`` floor. The per-doc mean is the second and last shuffle,
+   combinable.
+
+Everything is JVM built-ins — no UDF anywhere. Scores are rounded to
+4 dp with -0.0 folded to +0.0 (cross-engine hash stability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.functions.text import tokens_col
+
+
+def unigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram counts: (token, c)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _round4(col: Column) -> Column:
+    # + 0.0 folds IEEE -0.0 to +0.0 (a mean can round to zero from below)
+    return F.round(col, 4) + F.lit(0.0)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    LM with add-``alpha`` smoothing over the ``min_count``-gated
+    vocabulary (+1 ``<unk>`` type that absorbs the sub-threshold tail).
+    Returns ``(id_col, n_tokens, mean_logprob)``. Pass ``counts`` to
+    score against a PREVIOUSLY fitted model (e.g. score a candidate
+    crawl under last month's corpus)."""
+    if counts is None:
+        counts = unigram_counts(docs, text_col)
+    a = F.lit(float(alpha))
+    mc = F.lit(int(min_count))
+    scalars = counts.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.sum(F.when(F.col("c") >= mc, 1).otherwise(0))
+        .cast("double")
+        .alias("_vk"),
+        F.sum(F.when(F.col("c") < mc, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("_cunk"),
+    )
+    denom = F.col("_n") + a * (F.col("_vk") + F.lit(1.0))  # V = kept + <unk>
+    probs = (
+        counts.filter(F.col("c") >= mc)  # the broadcast-bounding gate
+        .crossJoin(F.broadcast(scalars))
+        .select("token", F.log((F.col("c") + a) / denom).alias("_logp"))
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "_logp", F.log((F.col("_cunk") + a) / denom)
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _round4(F.avg("_logp")).alias("mean_logprob"),
+    )
+
+
+def importance_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """DSIR-style data selection score: per-document mean token
+    log-ratio ln(P_target(t) / P_corpus(t)) between add-``alpha``
+    unigram LMs of a (small, curated) target corpus and of the raw
+    corpus. Documents that look like the target score high — rank by
+    this and hash-sample the top band to build a targeted mix.
+
+    The shared vocabulary is corpus tokens with count >= ``min_count``
+    PLUS every target token (the target is curated and dimension-sized
+    by contract, so keeping all of it stays broadcastable); everything
+    else scores as the shared ``<unk>`` type under both LMs. Returns
+    ``(id_col, n_tokens, mean_logratio)``."""
+    cc = unigram_counts(docs, text_col).withColumnRenamed("c", "cc")
+    tc = unigram_counts(target, text_col).withColumnRenamed("c", "tc")
+    joined = cc.join(tc, "token", "full_outer")
+    a = F.lit(float(alpha))
+    mc = F.lit(int(min_count))
+    kept = (F.coalesce("cc", F.lit(0)) >= mc) | F.col("tc").isNotNull()
+    scalars = joined.agg(
+        F.sum(F.coalesce("cc", F.lit(0))).cast("double").alias("_nc"),
+        F.sum(F.coalesce("tc", F.lit(0))).cast("double").alias("_nt"),
+        F.sum(kept.cast("int")).cast("double").alias("_vk"),
+        F.sum(F.when(kept, 0).otherwise(F.coalesce("cc", F.lit(0))))
+        .cast("double")
+        .alias("_ccunk"),
+    )
+    v = F.col("_vk") + F.lit(1.0)  # + <unk>
+    t_logp = F.log(
+        (F.coalesce("tc", F.lit(0)) + a) / (F.col("_nt") + a * v)
+    )
+    c_logp = F.log(
+        (F.coalesce("cc", F.lit(0)) + a) / (F.col("_nc") + a * v)
+    )
+    probs = (
+        joined.filter(kept)
+        .crossJoin(F.broadcast(scalars))
+        .select("token", (t_logp - c_logp).alias("_lr"))
+    )
+    # sub-threshold corpus tokens: never seen in target (else kept), so
+    # the <unk> ratio is the 0-count target floor over the unk corpus mass
+    unk_lr = F.log(a / (F.col("_nt") + a * v)) - F.log(
+        (F.col("_ccunk") + a) / (F.col("_nc") + a * v)
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(F.col(id_col), F.coalesce("_lr", unk_lr).alias("_lr"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _round4(F.avg("_lr")).alias("mean_logratio"),
+    )

@@ -1,0 +1,269 @@
+"""Late-r5 training-data operators: decontamination, chunking, packing,
+bloom prefilter, link graph, unigram LM — Python-reference parity plus
+the contracts the driver oracle can't see (bloom zero-false-negative,
+pack budget invariants, chunk reassembly)."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kg_microbe_spark.operators.bloomjoin import (
+    bloom_prefilter_join,
+    bloom_probe,
+    build_bloom_words,
+)
+from kg_microbe_spark.operators.chunking import chunk_by_tokens, pack_sequences
+from kg_microbe_spark.operators.decontamination import decontaminate
+from kg_microbe_spark.operators.linkgraph import domain_link_graph
+from kg_microbe_spark.operators.lm_quality import (
+    importance_logratio,
+    unigram_logprob,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta"),
+    (1, "alpha beta gamma other words here"),
+    (2, "completely different tokens only"),
+    (3, "beta gamma delta trailing tail"),
+    (4, ""),
+    (5, "one"),
+]
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r.doc_id: (r.n_hit_shingles, r.keep)
+        for r in decontaminate(docs, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out[0][0] == 4 and not out[0][1]  # the bench doc itself: 4 trigrams
+    assert out[1] == (1, False)  # shares "alpha beta gamma"
+    assert out[2] == (0, True)
+    # doc 3's only bench overlap is the trigram "beta gamma delta"
+    assert out[3] == (1, False)
+    assert out[4] == (0, True) and out[5] == (0, True)
+
+
+def test_decontaminate_max_hits_threshold(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r.doc_id: r.keep
+        for r in decontaminate(
+            docs, bench, "doc_id", "text", n=3, max_hits=1
+        ).collect()
+    }
+    assert out[1] is True and out[0] is False
+
+
+def test_chunking_reassembles_and_counts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = (
+        chunk_by_tokens(docs, "doc_id", "text", window=4, stride=2)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    for doc_id, text in DOCS:
+        toks = " ".join(text.lower().split()).split(" ")
+        rows = [r for r in got if r.doc_id == doc_id]
+        n = len(toks)
+        expect_chunks = 1 if n <= 4 else math.ceil((n - 4) / 2) + 1
+        assert len(rows) == expect_chunks
+        for r in rows:
+            start = r.chunk_id * 2
+            assert r.chunk_text == " ".join(toks[start : start + 4])
+            assert r.n_tokens == min(4, n - start) and r.n_tokens >= 1
+        # stride=window/2 → every token appears in some chunk
+        covered = set()
+        for r in rows:
+            covered.update(range(r.chunk_id * 2, r.chunk_id * 2 + r.n_tokens))
+        assert covered == set(range(n))
+
+
+def test_chunking_rejects_gapped_stride(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(docs, "doc_id", "text", window=4, stride=8)
+
+
+def test_pack_sequences_matches_python_nextfit(spark):
+    rows = [(i, (i * 7) % 40 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r.id: (r.shard, r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, "doc_id", "w", budget=64, n_shards=4).collect()
+    }
+    # python replay: shard by md5-60bit % 4, ascending id, next-fit
+    shards = {}
+    for i, w in rows:
+        shards.setdefault(_md5_60(str(i)) % 4, []).append((i, w))
+    expect = {}
+    for shard, docs in shards.items():
+        seq = running = 0
+        for i, w in sorted(docs):
+            if running > 0 and running + w > 64:
+                seq += 1
+                running = 0
+            expect[i] = (shard, seq, running)
+            running += w
+    assert got == expect
+
+
+def test_pack_sequences_budget_invariants(spark):
+    rows = [(i, 10 + (i % 90)) for i in range(100)]  # all fit the budget
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = pack_sequences(df, "doc_id", "w", budget=100, n_shards=4)
+    per_seq = (
+        out.groupBy("shard", "seq_id").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    assert all(r.tot <= 100 for r in per_seq)
+    # offsets tile each sequence contiguously from 0
+    seqs = {}
+    for r in out.collect():
+        seqs.setdefault((r.shard, r.seq_id), []).append(
+            (r.seq_offset, r.n_tokens)
+        )
+    for chunks in seqs.values():
+        pos = 0
+        for off, n in sorted(chunks):
+            assert off == pos
+            pos += n
+
+
+def test_bloom_no_false_negatives_and_prefilter_equals_exact(spark):
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 300, 7)], "k long"
+    )
+    fact = spark.createDataFrame([(i, f"v{i}") for i in range(300)], "k long, v string")
+    words = build_bloom_words(dim, "k", m_bits=512, k=3)
+    probed = bloom_probe(fact, "k", words, k=3)
+    dim_keys = {r.k for r in dim.collect()}
+    flags = {r.k: r.bloom_pass for r in probed.collect()}
+    # a Bloom filter NEVER misses a real member
+    assert all(flags[k] for k in dim_keys)
+    # prefiltered exact join == plain semi join
+    got = sorted(
+        (r.k, r.v) for r in bloom_prefilter_join(fact, dim, "k", "k").collect()
+    )
+    assert got == sorted((k, f"v{k}") for k in dim_keys)
+
+
+def test_bloom_words_match_python_bitmap(spark):
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    words = build_bloom_words(dim, "k", m_bits=256, k=2)
+    expect = [0] * 4
+    for i in range(50):
+        for probe in range(2):
+            p = _md5_60(f"{i}:{probe}") % 256
+            expect[p // 64] |= 1 << (p % 64)
+    # python ints are unbounded; fold to signed 64-bit like the JVM
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+    assert words == signed
+
+
+def test_domain_link_graph_collapses_and_drops_self(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example.org/x",
+             "see https://b.com/1 and https://b.com/2 plus https://a.example.org/self"),
+            (2, "https://www.a.example.org/y", "go https://b.com/3"),
+            (3, "https://c.co.uk/z", "ref https://sub.b.com/4"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in domain_link_graph(pages, "doc_id", "url", "text").collect()
+    }
+    # page 1: two b.com links collapse to one unit; self link dropped
+    assert got == {("example.org", "b.com"): 2, ("c.co.uk", "b.com"): 1}
+
+
+def test_unigram_logprob_matches_python(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob)
+        for r in unigram_logprob(docs, "doc_id", "text", alpha=1.0).collect()
+    }
+    toks = {d: t.lower().split() for d, t in DOCS}
+    counts = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n, v = sum(counts.values()), len(counts) + 1  # +1: the <unk> type
+    for d, ts in toks.items():
+        if not ts:
+            assert d not in got  # empty docs have no tokens to score
+            continue
+        mean = sum(math.log((counts[t] + 1.0) / (n + v)) for t in ts) / len(ts)
+        assert got[d][0] == len(ts)
+        assert got[d][1] == pytest.approx(round(mean, 4), abs=1e-9)
+    # rarer vocabulary scores lower
+    assert got[2][1] < got[0][1]
+
+
+def test_unigram_logprob_min_count_unk_floor(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in unigram_logprob(
+            docs, "doc_id", "text", alpha=1.0, min_count=2
+        ).collect()
+    }
+    toks = {d: t.lower().split() for d, t in DOCS}
+    counts = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n = sum(counts.values())
+    kept = {t: c for t, c in counts.items() if c >= 2}
+    cunk = sum(c for t, c in counts.items() if c < 2)
+    v = len(kept) + 1
+    floor = math.log((cunk + 1.0) / (n + v))
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        mean = sum(
+            math.log((kept[t] + 1.0) / (n + v)) if t in kept else floor
+            for t in ts
+        ) / len(ts)
+        assert got[d] == pytest.approx(round(mean, 4), abs=1e-9)
+
+
+def test_importance_logratio_matches_python_and_prefers_target(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id").isin(0, 1))
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logratio)
+        for r in importance_logratio(docs, target, "doc_id", "text").collect()
+    }
+    toks = {d: t.lower().split() for d, t in DOCS}
+    cc, tc = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            cc[t] = cc.get(t, 0) + 1
+            if d in (0, 1):
+                tc[t] = tc.get(t, 0) + 1
+    nc, nt, v = sum(cc.values()), sum(tc.values()), len(cc) + 1
+    for d, ts in toks.items():
+        if not ts:
+            assert d not in got
+            continue
+        mean = sum(
+            math.log((tc.get(t, 0) + 1.0) / (nt + v))
+            - math.log((cc[t] + 1.0) / (nc + v))
+            for t in ts
+        ) / len(ts)
+        assert got[d][0] == len(ts)
+        assert got[d][1] == pytest.approx(round(mean, 4), abs=1e-9)
+    # target-like docs outscore off-target docs
+    assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
