@@ -3104,17 +3104,26 @@ def q_pagerank_entities(spark, sf_dir):
     return pagerank(edges, "src", "dst", iterations=3, damping=0.85)
 
 
-def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+_PAGERANK_ORDERS_EDGES = """e AS (
+  SELECT DISTINCT o_custkey % 37 AS src, o_orderkey % 37 AS dst
+  FROM orders WHERE o_custkey % 37 <> o_orderkey % 37
+)"""
+
+
+def _pagerank_sql(
+    iterations: int = 3,
+    damping: float = 0.85,
+    edges_cte: str = _PAGERANK_ORDERS_EDGES,
+) -> str:
     # e-notation literals keep DuckDB in DOUBLE (a plain 0.15 parses as
     # DECIMAL and the whole chain — and the result type — goes decimal);
     # 1-damping rendered from the same float Python/Spark computes.
+    # edges_cte: CTE chain ending in e(src, dst) — callers swap in any
+    # edge derivation (orders multigraph, domain link graph, ...).
     one_minus_d = f"{1.0 - damping:.17e}"
     d = f"{damping:.17e}"
-    sql = ["""
-WITH e AS (
-  SELECT DISTINCT o_custkey % 37 AS src, o_orderkey % 37 AS dst
-  FROM orders WHERE o_custkey % 37 <> o_orderkey % 37
-),
+    sql = [f"""
+WITH {edges_cte},
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 nn AS (SELECT COUNT(*) AS cnt FROM nodes),
 deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
@@ -4534,18 +4543,11 @@ FROM probe GROUP BY o_orderpriority
 """
 
 
-def q_domain_link_graph(spark, sf_dir):
-    """Hyperlink domain graph — executes the SHIPPED
-    ``domain_link_graph`` (operators/linkgraph.py: codegen URL
-    extraction + frozen-PSL eTLD+1 + one combinable pair count).
-    Fixture pages get a deterministic source URL and 1-3 outlinks from
-    doc_id arithmetic; a repeat link to the same domain (every 6th doc)
-    exercises the per-page collapse, a self link (every 8th) the
-    self-edge filter."""
-    from kg_microbe_spark.operators.linkgraph import domain_link_graph
-
-    d = _t(spark, sf_dir, "documents")
-    fx = d.select(
+def _linkgraph_fixture(d):
+    """Deterministic source URL + 1-3 outlinks from doc_id arithmetic;
+    a repeat link to the same domain (every 6th doc) exercises the
+    per-page collapse, a self link (every 8th) the self-edge filter."""
+    return d.select(
         "doc_id",
         F.concat(
             F.lit("https://"),
@@ -4589,11 +4591,20 @@ def q_domain_link_graph(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+
+
+def q_domain_link_graph(spark, sf_dir):
+    """Hyperlink domain graph — executes the SHIPPED
+    ``domain_link_graph`` (operators/linkgraph.py: codegen URL
+    extraction + frozen-PSL eTLD+1 + one combinable pair count) over
+    the deterministic outlink fixture."""
+    from kg_microbe_spark.operators.linkgraph import domain_link_graph
+
+    fx = _linkgraph_fixture(_t(spark, sf_dir, "documents"))
     return domain_link_graph(fx, "doc_id", "url", "text")
 
 
-_LINKGRAPH_SQL = r"""
-WITH fx AS (
+_LINKGRAPH_CTES = r"""fx AS (
   SELECT doc_id,
          'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
          || 'src' || CAST(doc_id % 20 AS VARCHAR)
@@ -4649,9 +4660,73 @@ doms AS (
 per_page AS (
   SELECT DISTINCT doc_id, src_domain, dst_domain FROM doms
   WHERE dst_domain <> src_domain
-)
+)"""
+
+_LINKGRAPH_SQL = f"""
+WITH {_LINKGRAPH_CTES}
 SELECT src_domain, dst_domain, COUNT(*) AS n_links
 FROM per_page GROUP BY src_domain, dst_domain
+"""
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Domain PageRank — the link-graph and PageRank operators
+    COMPOSED: ``domain_link_graph`` (operators/linkgraph.py) feeds
+    ``pagerank`` (operators/pagerank.py) directly, the crawl-quality
+    prior a 100-TB mix would join back onto pages. Oracle = the same
+    PSL extraction CTEs + 2 unrolled power-method steps."""
+    from kg_microbe_spark.operators.linkgraph import domain_link_graph
+    from kg_microbe_spark.operators.pagerank import pagerank
+
+    fx = _linkgraph_fixture(_t(spark, sf_dir, "documents"))
+    g = domain_link_graph(fx, "doc_id", "url", "text")
+    return pagerank(g, "src_domain", "dst_domain", iterations=2, damping=0.85)
+
+
+FP_WINDOW, FP_MIN_SHARED, FP_MAX_FREQ = 3, 2, 6
+
+
+def q_fingerprint_overlap(spark, sf_dir):
+    """Winnowing fingerprint-overlap near-dup pairs — executes the
+    SHIPPED ``fingerprint_overlap_pairs`` (operators/dedup.py:
+    fingerprint equi-join, shuffle ∝ repeated spans, stop-span hub
+    guard before the self-join). 3-token spans, ≥2 shared, spans in >6
+    docs dropped as boilerplate."""
+    from kg_microbe_spark.operators.dedup import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(
+        d,
+        "doc_id",
+        "text",
+        window=FP_WINDOW,
+        min_shared=FP_MIN_SHARED,
+        max_fingerprint_frequency=FP_MAX_FREQ,
+    )
+
+
+_FP_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS l
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(l) - {FP_WINDOW - 1}, 1) + 1),
+    i -> md5(array_to_string(l[i:i+{FP_WINDOW - 1}], ' '))))) AS fp
+  FROM toks
+),
+keep AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS f FROM fp GROUP BY fp)
+  WHERE f <= {FP_MAX_FREQ}
+),
+kf AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM keep))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {FP_MIN_SHARED}
 """
 
 
@@ -4850,6 +4925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_link_graph": q_domain_link_graph,
         "unigram_logprob": q_unigram_logprob,
         "dsir_logratio": q_dsir_logratio,
+        "domain_pagerank": q_domain_pagerank,
+        "fingerprint_overlap": q_fingerprint_overlap,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5017,6 +5094,14 @@ def oracle_sql() -> dict[str, str]:
         "domain_link_graph": _LINKGRAPH_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
         "dsir_logratio": _DSIR_SQL,
+        "domain_pagerank": _pagerank_sql(
+            iterations=2,
+            damping=0.85,
+            edges_cte=_LINKGRAPH_CTES
+            + """,
+e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
+        ),
+        "fingerprint_overlap": _FP_OVERLAP_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

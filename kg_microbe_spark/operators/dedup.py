@@ -306,3 +306,55 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: in
             (inter.cast("double") / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
         )
     )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_shared: int = 2,
+    max_fingerprint_frequency: Optional[int] = None,
+) -> DataFrame:
+    """Exact substring-span near-dup pairs via winnowing-style rolling
+    fingerprints (functions/text.py rolling_fingerprints_col): pairs of
+    documents sharing >= ``min_shared`` distinct ``window``-token span
+    md5s — the deterministic complement of MinHash (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" substring
+    criterion at span granularity).
+
+    Scale shape: the pair join is an EQUI-join on the fingerprint —
+    shuffle is proportional to spans that actually repeat, never n².
+    ``max_fingerprint_frequency`` drops stop-spans (boilerplate that
+    appears in more than f docs) BEFORE the self-join, the same f² hub
+    guard as pairwise_jaccard; production sets it low (a span shared by
+    thousands of docs is boilerplate, not duplication — the boilerplate
+    scrubber is the right tool for those).
+    """
+    from kg_microbe_spark.functions.text import rolling_fingerprints_col
+
+    fps = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                rolling_fingerprints_col(F.col(text_col), window)
+            )
+        ).alias("fp"),
+    )
+    if max_fingerprint_frequency is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_fingerprint_frequency)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

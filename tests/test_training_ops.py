@@ -267,3 +267,63 @@ def test_importance_logratio_matches_python_and_prefers_target(spark):
         assert got[d][1] == pytest.approx(round(mean, 4), abs=1e-9)
     # target-like docs outscore off-target docs
     assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
+
+
+def test_fingerprint_overlap_matches_python_and_hub_guard(spark):
+    from kg_microbe_spark.operators.dedup import fingerprint_overlap_pairs
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "x a b c d y"),  # shares spans "a b c", "b c d" with doc 1
+        (3, "a b c q r s"),  # shares only "a b c" with docs 1/2
+        (4, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_overlap_pairs(
+            df, "doc_id", "text", window=3, min_shared=2
+        ).collect()
+    }
+    assert got == {(1, 2): 2}
+    # min_shared=1 also surfaces the single-span pairs
+    got1 = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_overlap_pairs(
+            df, "doc_id", "text", window=3, min_shared=1
+        ).collect()
+    }
+    assert got1 == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # hub guard: "a b c" appears in 3 docs; capping frequency at 2
+    # removes it, leaving only the (1,2)-exclusive span "b c d"
+    got_g = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_overlap_pairs(
+            df, "doc_id", "text", window=3, min_shared=1,
+            max_fingerprint_frequency=2,
+        ).collect()
+    }
+    assert got_g == {(1, 2): 1}
+
+
+def test_domain_pagerank_composition(spark):
+    from kg_microbe_spark.operators.linkgraph import domain_link_graph
+    from kg_microbe_spark.operators.pagerank import pagerank
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.org/1", "x https://hub.com/p x"),
+            (2, "https://b.org/1", "y https://hub.com/q and https://a.org/z"),
+            (3, "https://c.org/1", "z https://hub.com/r"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    g = domain_link_graph(pages, "doc_id", "url", "text")
+    ranks = {
+        r.id: r.rank
+        for r in pagerank(g, "src_domain", "dst_domain", iterations=2).collect()
+    }
+    assert set(ranks) == {"a.org", "b.org", "c.org", "hub.com"}
+    # everyone links hub.com → it must dominate
+    assert ranks["hub.com"] == max(ranks.values())
+    assert ranks["a.org"] > ranks["b.org"]  # a.org has an inlink, b/c none
