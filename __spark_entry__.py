@@ -4442,8 +4442,7 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
-_PACK_SQL = f"""
-WITH RECURSIVE base AS (
+_PACK_CTES = f"""base AS (
   SELECT doc_id AS id,
          CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                               w -> w <> '')) AS BIGINT) AS n_tokens,
@@ -4469,8 +4468,42 @@ pack AS (
          CASE WHEN p.running > 0 AND p.running + o.n_tokens > {PACK_BUDGET}
               THEN o.n_tokens ELSE p.running + o.n_tokens END
   FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
-)
+)"""
+
+_PACK_SQL = f"""
+WITH RECURSIVE {_PACK_CTES}
 SELECT id, shard, seq_id, seq_offset, n_tokens FROM pack
+"""
+
+
+def q_sequence_texts(spark, sf_dir):
+    """Packed-sequence materialization — ``pack_sequences`` composed
+    with the SHIPPED ``materialize_sequences`` (operators/chunking.py:
+    join-back + groupBy(shard, seq_id) whose collected state is bounded
+    by the token budget BY CONSTRUCTION; offset-struct sort_array makes
+    concatenation order deterministic without a window)."""
+    from kg_microbe_spark.functions.text import token_count_col
+    from kg_microbe_spark.operators.chunking import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weighted = d.select("doc_id", token_count_col(F.col("text")).alias("w"))
+    packed = pack_sequences(
+        weighted, "doc_id", "w", budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return materialize_sequences(d, packed, "doc_id", "text")
+
+
+_SEQ_TEXTS_SQL = f"""
+WITH RECURSIVE {_PACK_CTES}
+SELECT p.shard, p.seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS seq_tokens,
+       string_agg(d.text, ' ' ORDER BY p.seq_offset) AS seq_text
+FROM pack p JOIN documents d ON p.id = d.doc_id
+GROUP BY p.shard, p.seq_id
 """
 
 
@@ -4927,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratio": q_dsir_logratio,
         "domain_pagerank": q_domain_pagerank,
         "fingerprint_overlap": q_fingerprint_overlap,
+        "sequence_texts": q_sequence_texts,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5102,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
 e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         ),
         "fingerprint_overlap": _FP_OVERLAP_SQL,
+        "sequence_texts": _SEQ_TEXTS_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

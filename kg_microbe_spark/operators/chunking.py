@@ -125,3 +125,42 @@ def pack_sequences(
         return pdf[["id", "shard", "seq_id", "seq_offset", "n_tokens"]]
 
     return base.groupBy("shard").applyInPandas(_pack, PACK_SCHEMA)
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = " ",
+) -> DataFrame:
+    """Join the ``pack_sequences`` assignment back onto the documents and
+    concatenate each training sequence's texts in offset order. Returns
+    ``(shard, seq_id, n_docs, seq_tokens, seq_text)``.
+
+    Shape: one equi-join on the doc id (co-partitioned with the pack
+    output when AQE reuses the exchange) + one groupBy(shard, seq_id)
+    whose collect is bounded BY CONSTRUCTION — a sequence holds at most
+    ``budget`` tokens, so the per-group state is one model context, not
+    a hub key. sort_array on (seq_offset, text) structs makes the
+    concatenation order deterministic without a window."""
+    joined = packed.join(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "id",
+    )
+    return (
+        joined.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seq_offset", "_t"))
+                    ),
+                    lambda s: s["_t"],
+                ),
+                sep,
+            ).alias("seq_text"),
+        )
+    )

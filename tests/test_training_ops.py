@@ -139,6 +139,31 @@ def test_pack_sequences_budget_invariants(spark):
             pos += n
 
 
+def test_materialize_sequences_orders_and_bounds(spark):
+    from kg_microbe_spark.operators.chunking import materialize_sequences
+
+    rows = [(i, f"doc{i} text", 30) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    packed = pack_sequences(df, "doc_id", "w", budget=100, n_shards=2)
+    out = materialize_sequences(df, packed, "doc_id", "text").collect()
+    assigned = {r.id: (r.shard, r.seq_id, r.seq_offset) for r in packed.collect()}
+    for r in out:
+        ids = sorted(
+            (off for i, (sh, sq, off) in assigned.items()
+             if (sh, sq) == (r.shard, r.seq_id))
+        )
+        assert r.n_docs == len(ids) and r.seq_tokens == 30 * len(ids)
+        assert r.seq_tokens <= 100
+        # texts appear in ascending offset order
+        members = sorted(
+            (i for i, (sh, sq, off) in assigned.items()
+             if (sh, sq) == (r.shard, r.seq_id)),
+            key=lambda i: assigned[i][2],
+        )
+        assert r.seq_text == " ".join(f"doc{i} text" for i in members)
+    assert sum(r.n_docs for r in out) == 20
+
+
 def test_bloom_no_false_negatives_and_prefilter_equals_exact(spark):
     dim = spark.createDataFrame(
         [(i,) for i in range(0, 300, 7)], "k long"
