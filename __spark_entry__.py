@@ -4796,8 +4796,7 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(fx, "doc_id", "text", alpha=1.0, min_count=2)
 
 
-_UNIGRAM_SQL = f"""
-WITH fx AS ({_LM_FIXTURE_SQL}),
+_UNIGRAM_CTES = f"""fx AS ({_LM_FIXTURE_SQL}),
 toks AS (
   SELECT doc_id, w AS token FROM (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
@@ -4814,14 +4813,95 @@ tot AS (
 probs AS (
   SELECT token, ln((c + 1e0) / (n + 1e0 * (vk + 1e0))) AS logp
   FROM counts CROSS JOIN tot WHERE c >= 2
+),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         ROUND(AVG(COALESCE(p.logp,
+           ln((tot.cunk + 1e0) / (tot.n + 1e0 * (tot.vk + 1e0))))), 4) + 0e0
+           AS mean_logprob
+  FROM toks t LEFT JOIN probs p USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id
+)"""
+
+_UNIGRAM_SQL = f"""
+WITH {_UNIGRAM_CTES}
+SELECT doc_id, n_tokens, mean_logprob FROM scored
+"""
+
+
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet-style quality banding — ``unigram_logprob`` composed with
+    the SHIPPED ``ccnet_buckets`` (operators/lm_quality.py: the
+    cumulative-share window runs over the bounded SCORE-BIN table, A6
+    histogram-cutoff discipline — never a per-row global rank; two
+    broadcast thresholds label every document)."""
+    from kg_microbe_spark.operators.lm_quality import (
+        ccnet_buckets,
+        unigram_logprob,
+    )
+
+    fx = _lm_fixture(_t(spark, sf_dir, "documents"))
+    scores = unigram_logprob(fx, "doc_id", "text", alpha=1.0, min_count=2)
+    return ccnet_buckets(scores, "doc_id", "mean_logprob")
+
+
+_CCNET_SQL = f"""
+WITH {_UNIGRAM_CTES},
+bins AS (
+  SELECT mean_logprob AS s, COUNT(*) AS c FROM scored GROUP BY mean_logprob
+),
+cdf AS (
+  SELECT s,
+         CAST(SUM(c) OVER (ORDER BY s) AS DOUBLE)
+           / (SELECT CAST(SUM(c) AS DOUBLE) FROM bins) AS share
+  FROM bins
+),
+thr AS (
+  SELECT MIN(CASE WHEN share >= 1e0 / 3e0 THEN s END) AS t0,
+         MIN(CASE WHEN share >= 2e0 / 3e0 THEN s END) AS t1
+  FROM cdf
 )
-SELECT t.doc_id,
-       COUNT(*) AS n_tokens,
-       ROUND(AVG(COALESCE(p.logp,
-         ln((tot.cunk + 1e0) / (tot.n + 1e0 * (tot.vk + 1e0))))), 4) + 0e0
-         AS mean_logprob
-FROM toks t LEFT JOIN probs p USING (token) CROSS JOIN tot
-GROUP BY t.doc_id
+SELECT doc_id, mean_logprob,
+       CASE WHEN mean_logprob <= t0 THEN 'tail'
+            WHEN mean_logprob <= t1 THEN 'middle'
+            ELSE 'head' END AS band
+FROM scored CROSS JOIN thr
+"""
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy — executes the SHIPPED
+    ``char_entropy_col`` (functions/text.py: in-row char histogram via
+    higher-order array functions — a narrow zero-shuffle projection;
+    the gibberish/base64-blob detector next to the word-level quality
+    score)."""
+    from kg_microbe_spark.functions.text import char_entropy_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("."), 0))
+        .cast("long")
+        .alias("n_chars"),
+        (F.round(char_entropy_col(F.col("text")), 4) + F.lit(0.0)).alias(
+            "char_entropy"
+        ),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents
+)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN len(cs) = 0 THEN 0e0 ELSE
+         -list_sum(list_transform(list_distinct(cs),
+            c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+                 * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))))
+       END, 4) + 0e0 AS char_entropy
+FROM ch
 """
 
 
@@ -4961,6 +5041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "fingerprint_overlap": q_fingerprint_overlap,
         "sequence_texts": q_sequence_texts,
+        "ccnet_bucket": q_ccnet_bucket,
+        "char_entropy": q_char_entropy,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5137,6 +5219,8 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         ),
         "fingerprint_overlap": _FP_OVERLAP_SQL,
         "sequence_texts": _SEQ_TEXTS_SQL,
+        "ccnet_bucket": _CCNET_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

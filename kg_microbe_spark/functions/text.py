@@ -101,3 +101,26 @@ def rolling_fingerprints_col(text: Column, window: int = 8) -> Column:
     k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
     return F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")))
+
+
+def char_entropy_col(text: Column) -> Column:
+    """Shannon entropy (nats) of the character distribution — the
+    gibberish/encoded-blob detector that complements the word-level
+    quality score (base64 dumps and minified JS sit far above prose,
+    aaaa-spam far below). Pure higher-order JVM expressions: the char
+    histogram is built IN-ROW (array_distinct + per-char filter count),
+    so the operator is a narrow zero-shuffle projection at any corpus
+    size — the per-row cost is O(distinct_chars × len), with
+    distinct_chars bounded by the alphabet, not the document."""
+    chars = F.regexp_extract_all(text, F.lit("."), 0)
+    n = F.size(chars)
+    ent = F.aggregate(
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)),
+        ),
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        - (cnt.cast("double") / n) * F.log(cnt.cast("double") / n),
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(ent)

@@ -166,3 +166,56 @@ def importance_logratio(
         F.count(F.lit(1)).alias("n_tokens"),
         _round4(F.avg("_lr")).alias("mean_logratio"),
     )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    shares: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style quality banding: split documents into tail / middle /
+    head by LM score quantile thresholds, WITHOUT a global per-row
+    window (the 10^12-row rank trap). Scores arrive 4-dp-rounded from
+    ``unigram_logprob``, so distinct score values form a bounded bin
+    table: one combinable groupBy(score) count, a cumulative-share
+    window over the BINS (A6 histogram-cutoff discipline — thousands of
+    rows, not the corpus), and a broadcast threshold join back. Ties
+    share a bin, so banding is deterministic on every engine. Returns
+    ``(id_col, score_col, band)``."""
+    if len(labels) != len(shares) + 1:
+        raise ValueError("need exactly one more label than shares")
+    bins = scores.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = bins.select(
+        F.col(score_col),
+        (
+            F.sum("_c").over(w).cast("double")
+            / F.sum("_c").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("_share"),
+    )
+    # per share s: the smallest score whose cumulative share reaches s
+    thr = cdf.agg(
+        *[
+            F.min(F.when(F.col("_share") >= F.lit(s), F.col(score_col))).alias(
+                f"_t{i}"
+            )
+            for i, s in enumerate(shares)
+        ]
+    )
+    out = scores.crossJoin(F.broadcast(thr))
+    band = F.lit(labels[-1])
+    for i in range(len(shares) - 1, -1, -1):
+        band = F.when(F.col(score_col) <= F.col(f"_t{i}"), F.lit(labels[i])).otherwise(
+            band
+        )
+    return out.select(F.col(id_col), F.col(score_col), band.alias("band"))

@@ -294,6 +294,54 @@ def test_importance_logratio_matches_python_and_prefers_target(spark):
     assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
 
 
+def test_char_entropy_matches_python(spark):
+    from collections import Counter
+
+    from kg_microbe_spark.functions.text import char_entropy_col
+
+    docs = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, ""), (4, "zz yy zz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", char_entropy_col(F.col("text")).alias("e")
+        ).collect()
+    }
+    for d, t in docs:
+        n = len(t)
+        expect = (
+            0.0
+            if n == 0
+            else -sum(
+                (c / n) * math.log(c / n) for c in Counter(t).values()
+            )
+        )
+        assert got[d] == pytest.approx(expect, abs=1e-12)
+    # uniform 4-char doc = ln(4); constant doc = 0
+    assert got[2] == pytest.approx(math.log(4))
+    assert got[0] == 0.0 and got[1] == pytest.approx(math.log(2))
+
+
+def test_ccnet_buckets_thresholds_and_ties(spark):
+    from kg_microbe_spark.operators.lm_quality import ccnet_buckets
+
+    # 9 docs, scores with a tie straddling the 1/3 boundary: ties share
+    # a bin so both -8.0 docs land in the SAME band
+    rows = [
+        (0, -9.0), (1, -8.5), (2, -8.0), (3, -8.0), (4, -7.0),
+        (5, -6.5), (6, -6.0), (7, -5.5), (8, -5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    got = {r.doc_id: r.band for r in ccnet_buckets(df, "doc_id", "s").collect()}
+    # cum shares: -9.0→1/9, -8.5→2/9, -8.0→4/9(≥1/3 → t0=-8.0),
+    # -7.0→5/9, -6.5→6/9(≥2/3 → t1=-6.5)
+    assert [got[i] for i in range(9)] == [
+        "tail", "tail", "tail", "tail",
+        "middle", "middle",
+        "head", "head", "head",
+    ]
+
+
 def test_fingerprint_overlap_matches_python_and_hub_guard(spark):
     from kg_microbe_spark.operators.dedup import fingerprint_overlap_pairs
 
