@@ -4890,6 +4890,57 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+COOC_CAP, COOC_MIN_PAIR = 64, 20
+
+
+def q_entity_cooccurrence_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI — executes the SHIPPED
+    ``cooccurrence_pmi`` (operators/collocations.py: per-unit entity
+    sets sorted + capped, IN-ROW pair generation — kg_triples
+    discipline, hub units can't explode the shuffle; marginals counted
+    on the same capped sets). Units = orders, entities = the 25 part
+    brands on each order's lineitems."""
+    from kg_microbe_spark.operators.collocations import cooccurrence_pmi
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pairs = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("u"), F.col("p_brand").alias("e")
+    )
+    return cooccurrence_pmi(
+        pairs,
+        "u",
+        "e",
+        min_pair_count=COOC_MIN_PAIR,
+        max_entities_per_unit=COOC_CAP,
+    )
+
+
+_COOC_PMI_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS u, p_brand AS e
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sets AS (SELECT u, (list_sort(list(e)))[1:{COOC_CAP}] AS es FROM base GROUP BY u),
+cap AS (SELECT u, unnest(es) AS e FROM sets),
+pair_counts AS (
+  SELECT a.e AS ea, b.e AS eb, COUNT(*) AS n_pair
+  FROM cap a JOIN cap b ON a.u = b.u AND a.e < b.e
+  GROUP BY a.e, b.e
+  HAVING COUNT(*) >= {COOC_MIN_PAIR}
+),
+ent AS (SELECT e, COUNT(*) AS c FROM cap GROUP BY e),
+n AS (SELECT COUNT(*) AS n_units FROM sets)
+SELECT pc.ea, pc.eb, pc.n_pair,
+       ROUND(ln((CAST(pc.n_pair AS DOUBLE) * n.n_units)
+                / (CAST(ca.c AS DOUBLE) * cb.c)), 6) + 0e0 AS pmi
+FROM pair_counts pc
+JOIN ent ca ON pc.ea = ca.e
+JOIN ent cb ON pc.eb = cb.e
+CROSS JOIN n
+"""
+
+
 _CHAR_ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents
@@ -5043,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_texts": q_sequence_texts,
         "ccnet_bucket": q_ccnet_bucket,
         "char_entropy": q_char_entropy,
+        "entity_cooccurrence_pmi": q_entity_cooccurrence_pmi,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5221,6 +5273,7 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         "sequence_texts": _SEQ_TEXTS_SQL,
         "ccnet_bucket": _CCNET_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
+        "entity_cooccurrence_pmi": _COOC_PMI_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

@@ -73,3 +73,96 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    unit_col: str,
+    entity_col: str,
+    min_pair_count: int = 2,
+    max_entities_per_unit: int = 64,
+) -> DataFrame:
+    """Set-based co-occurrence PMI: association strength between
+    entities that appear in the SAME unit (page, order, document) — the
+    edge-weighting step that turns co-mention pairs (operators/
+    triples.py) into a weighted entity graph, where ``pmi_bigrams``
+    above handles token ADJACENCY.
+
+        pmi(a,b) = ln( (c_ab · n) / (c_a · c_b) )   over n units
+
+    Shape (kg_triples discipline): per-unit entity sets are collected
+    once, sorted, and CAPPED at ``max_entities_per_unit`` — pair
+    generation is IN-ROW (flatten/transform over the capped array), so
+    a hub unit can never explode the shuffle; marginal counts c_a come
+    from the same capped sets, keeping the probability space consistent
+    with the pair universe. Two combinable groupBys + one broadcast
+    1-row n; the pair→marginal joins run on aggregated
+    (vocabulary-sized) frames only."""
+    sets = (
+        df.select(F.col(unit_col).alias("u"), F.col(entity_col).alias("e"))
+        .distinct()
+        .groupBy("u")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("e")), 1, max_entities_per_unit
+            ).alias("es")
+        )
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "es",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("es"),
+                            i + F.lit(2),
+                            max_entities_per_unit,
+                        ),
+                        lambda y: F.struct(
+                            x.alias("ea"), y.alias("eb")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.ea", "p.eb")
+    pair_counts = (
+        pairs.groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    ent_counts = (
+        sets.select(F.explode("es").alias("e"))
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_units = F.broadcast(sets.agg(F.count(F.lit(1)).alias("_n")))
+    return (
+        pair_counts.join(
+            ent_counts.select(F.col("e").alias("ea"), F.col("c").alias("_ca")),
+            "ea",
+        )
+        .join(
+            ent_counts.select(F.col("e").alias("eb"), F.col("c").alias("_cb")),
+            "eb",
+        )
+        .crossJoin(n_units)
+        .select(
+            "ea",
+            "eb",
+            "n_pair",
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_pair").cast("double") * F.col("_n"))
+                        / (F.col("_ca").cast("double") * F.col("_cb"))
+                    ),
+                    6,
+                )
+                # + 0.0 folds IEEE -0.0 (a barely-negative PMI rounds to
+                # zero from below) to +0.0 — cross-engine hash stability
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )

@@ -379,6 +379,50 @@ def test_fingerprint_overlap_matches_python_and_hub_guard(spark):
     assert got_g == {(1, 2): 1}
 
 
+def test_cooccurrence_pmi_matches_python_and_caps(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from kg_microbe_spark.operators.collocations import cooccurrence_pmi
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "c"), (4, "d"),
+        (4, "d"),  # duplicate (unit, entity) must not double-count
+    ]
+    df = spark.createDataFrame(rows, "u long, e string")
+    got = {
+        (r.ea, r.eb): (r.n_pair, r.pmi)
+        for r in cooccurrence_pmi(df, "u", "e", min_pair_count=2).collect()
+    }
+    units = {}
+    for u, e in rows:
+        units.setdefault(u, set()).add(e)
+    pair_c, ent_c = Counter(), Counter()
+    for es in units.values():
+        ent_c.update(es)
+        pair_c.update(combinations(sorted(es), 2))
+    n = len(units)
+    expect = {
+        p: (c, round(math.log(c * n / (ent_c[p[0]] * ent_c[p[1]])), 6) + 0.0)
+        for p, c in pair_c.items()
+        if c >= 2
+    }
+    assert got == {p: (c, pytest.approx(v, abs=1e-9)) for p, (c, v) in expect.items()} or got == expect
+    assert ("a", "b") in got and got[("a", "b")][0] == 3
+    # cap: max 2 entities per unit keeps only the 2 lexicographically
+    # smallest, so unit 1 contributes only (a,b)
+    capped = {
+        (r.ea, r.eb): r.n_pair
+        for r in cooccurrence_pmi(
+            df, "u", "e", min_pair_count=1, max_entities_per_unit=2
+        ).collect()
+    }
+    assert capped == {("a", "b"): 3, ("c", "d"): 1}
+
+
 def test_domain_pagerank_composition(spark):
     from kg_microbe_spark.operators.linkgraph import domain_link_graph
     from kg_microbe_spark.operators.pagerank import pagerank
