@@ -4386,6 +4386,72 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination — executes the SHIPPED
+    ``decontaminate_spans`` (operators/decontamination.py: the same
+    broadcast benchmark-shingle probe as the drop variant, hit START
+    positions back through one bounded collect_set, token excision and
+    reassembly IN-ROW — no second shuffle, no window, no UDF)."""
+    from kg_microbe_spark.operators.decontamination import (
+        decontaminate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 53 == 0)
+    return decontaminate_spans(d, bench, "doc_id", "text", n=DECON_N)
+
+
+_DECONTAM_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+t2 AS (SELECT doc_id, l, len(l) AS n_tok FROM toks),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {DECON_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {DECON_N - 2}),
+                                  i -> array_to_string(l[i:i+{DECON_N - 1}], ' '))
+         END AS sh
+  FROM toks
+),
+bset AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh0 WHERE doc_id % 53 = 0),
+pos AS (
+  SELECT doc_id, l, n_tok,
+         unnest(range(1, (CASE WHEN n_tok < {DECON_N} THEN 1
+                               ELSE n_tok - {DECON_N - 1} END) + 1)) AS start
+  FROM t2
+),
+spans AS (
+  SELECT doc_id, start,
+         array_to_string(l[start:start+{DECON_N - 1}], ' ') AS s,
+         CASE WHEN n_tok < {DECON_N} THEN n_tok ELSE {DECON_N} END AS span
+  FROM pos
+),
+hits AS (
+  SELECT doc_id, start, span FROM spans
+  WHERE s IN (SELECT shingle FROM bset)
+),
+tp AS (SELECT doc_id, n_tok, l, unnest(range(1, n_tok + 1)) AS p FROM t2),
+kept AS (
+  SELECT t.doc_id, t.n_tok, t.p, t.l[t.p] AS tok,
+         NOT EXISTS (
+           SELECT 1 FROM hits h
+           WHERE h.doc_id = t.doc_id
+             AND t.p >= h.start AND t.p <= h.start + h.span - 1
+         ) AS keep
+  FROM tp t
+)
+SELECT doc_id,
+       CAST(MAX(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_tok) - COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep), '')
+         AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
 CHUNK_W, CHUNK_S = 16, 8  # window/stride: overlapping windows on ~40-word docs
 
 
@@ -5095,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bucket": q_ccnet_bucket,
         "char_entropy": q_char_entropy,
         "entity_cooccurrence_pmi": q_entity_cooccurrence_pmi,
+        "decontaminate_spans": q_decontaminate_spans,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5274,6 +5341,7 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         "ccnet_bucket": _CCNET_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "entity_cooccurrence_pmi": _COOC_PMI_SQL,
+        "decontaminate_spans": _DECONTAM_SPANS_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

@@ -84,3 +84,81 @@ def decontaminate(
         )
         .withColumn("keep", F.col("n_hit_shingles") <= F.lit(max_hits))
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Span-level decontamination: EXCISE every token covered by a
+    benchmark-overlapping n-gram instead of dropping the document (the
+    removal variant of Lee et al.'s dedup criterion, applied to eval
+    contamination — keeps the clean remainder of long pages).
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)``.
+
+    Shape: shingle positions probe the SAME broadcast benchmark set as
+    :func:`decontaminate` (corpus side never shuffles on the join); hit
+    START positions flow back through ONE combinable
+    groupBy(doc).collect_set whose size is bounded by the document's
+    own shingle count (boilerplate-reassembly discipline, operators/
+    boilerplate.py); token excision and reassembly are IN-ROW
+    higher-order expressions — no second shuffle, no window, no UDF.
+    A document shorter than ``n`` tokens has one whole-text shingle: a
+    hit there removes the entire text (mirrors the drop semantics).
+    """
+    from kg_microbe_spark.operators.dedup import normalize_doc_text_col
+
+    bset = benchmark_shingles(bench, text_col, n)
+    toks = F.split(normalize_doc_text_col(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    size = F.size("_toks")
+    span = F.when(size < n, size).otherwise(F.lit(n))
+    k = F.greatest(size - F.lit(n - 1), F.lit(1))
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(
+                        F.slice("_toks", i, n), " "
+                    ).alias("shingle"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(F.col(id_col), F.col("_s.start").alias("start"), F.col("_s.shingle").alias("shingle"))
+    hit_starts = (
+        sh.join(F.broadcast(bset), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    joined = base.join(hit_starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), size),
+            lambda p: F.struct(
+                p.alias("pos"), F.get(F.col("_toks"), p - 1).alias("tok")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (s["pos"] >= st) & (s["pos"] <= st + span - 1),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        size.cast("long").alias("n_tokens"),
+        (size - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["tok"]), " ").alias(
+            "clean_text"
+        ),
+    )

@@ -65,6 +65,37 @@ def test_decontaminate_max_hits_threshold(spark):
     assert out[1] is True and out[0] is False
 
 
+def test_decontaminate_spans_excises_exact_tokens(spark):
+    from kg_microbe_spark.operators.decontamination import decontaminate_spans
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in decontaminate_spans(docs, bench, "doc_id", "text", n=3).collect()
+    }
+    # doc 0 IS the benchmark: fully excised
+    assert got[0] == (6, 6, "")
+    # doc 1 shares "alpha beta gamma" (tokens 1-3): remainder survives
+    assert got[1] == (6, 3, "other words here")
+    assert got[2] == (4, 0, "completely different tokens only")
+    # doc 3: only "beta gamma delta" (tokens 1-3) hits
+    assert got[3] == (5, 3, "trailing tail")
+    # short docs: no bench overlap → untouched
+    assert got[5] == (1, 0, "one")
+    # removal is consistent with the drop verdict: any doc the drop
+    # variant keeps must lose zero tokens here
+    from kg_microbe_spark.operators.decontamination import decontaminate
+
+    keeps = {
+        r.doc_id: r.keep
+        for r in decontaminate(docs, bench, "doc_id", "text", n=3).collect()
+    }
+    for d, kept in keeps.items():
+        if kept:
+            assert got[d][1] == 0
+
+
 def test_chunking_reassembles_and_counts(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = (
