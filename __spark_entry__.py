@@ -4956,6 +4956,58 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+NMF_DIMS = 8
+
+
+def q_neighbor_mean_features(spark, sf_dir):
+    """GNN message-passing layer — executes the SHIPPED
+    ``neighbor_mean_features`` (operators/projection.py: features
+    pos-exploded BEFORE the join so the aggregation key is (dst, pos) —
+    hub-node work spreads over the dims; running (sum,count) state,
+    never a collected neighbor list). Graph: two deterministic edge
+    rules over the embeddings table (≈2 in-neighbors per node)."""
+    from kg_microbe_spark.operators.projection import neighbor_mean_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") * 7 + 3) % n).alias("dst"),
+    ).unionAll(
+        emb.select(
+            F.col("vec_id").alias("src"),
+            ((F.col("vec_id") * 13 + 5) % n).alias("dst"),
+        )
+    )
+    return neighbor_mean_features(
+        edges, emb, "src", "dst", "vec_id", "embedding", dims=NMF_DIMS
+    )
+
+
+_NMF_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT vec_id AS src, (vec_id * 7 + 3) % (SELECT cnt FROM n) AS dst
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id, (vec_id * 13 + 5) % (SELECT cnt FROM n) FROM embeddings
+  )
+),
+f AS (
+  SELECT vec_id AS src,
+         unnest(embedding[1:{NMF_DIMS}]) AS val,
+         generate_subscripts(embedding[1:{NMF_DIMS}], 1) AS pos
+  FROM embeddings
+)
+SELECT e.dst AS id, f.pos,
+       COUNT(*) AS n_neighbors,
+       ROUND(AVG(CAST(f.val AS DOUBLE)), 6) + 0e0 AS mean_val
+FROM e JOIN f ON e.src = f.src
+GROUP BY e.dst, f.pos
+"""
+
+
 COOC_CAP, COOC_MIN_PAIR = 64, 20
 
 
@@ -5162,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "entity_cooccurrence_pmi": q_entity_cooccurrence_pmi,
         "decontaminate_spans": q_decontaminate_spans,
+        "neighbor_mean_features": q_neighbor_mean_features,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5342,6 +5395,7 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         "char_entropy": _CHAR_ENTROPY_SQL,
         "entity_cooccurrence_pmi": _COOC_PMI_SQL,
         "decontaminate_spans": _DECONTAM_SPANS_SQL,
+        "neighbor_mean_features": _NMF_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

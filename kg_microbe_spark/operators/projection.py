@@ -75,3 +75,44 @@ def random_projection_long(
         F.col(id_col),
         F.posexplode("projected").alias("j", "component"),
     )
+
+
+def neighbor_mean_features(
+    edges: DataFrame,
+    feats: DataFrame,
+    src_col: str,
+    dst_col: str,
+    id_col: str,
+    vec_col: str,
+    dims: int | None = None,
+) -> DataFrame:
+    """One GraphSAGE-style message-passing layer: for every destination
+    node, the element-wise MEAN of its in-neighbors' feature vectors —
+    the preprocessing step that turns the KG + embedding table into
+    GNN training features. Returns LONG format ``(id, pos, n_neighbors,
+    mean_val)`` with 1-based component positions (array-repr-free, the
+    random_projection_embed output discipline).
+
+    Scale shape: features are pos-exploded BEFORE the join, so the
+    aggregation key is (dst, pos) — a hub node's work spreads over
+    ``dims`` reducer keys instead of one (built-in skew spreading), and
+    the per-key state is a running (sum, count), never a collected
+    neighbor list. One equi-join + one combinable groupBy; parallel
+    edges collapse (distinct) so each neighbor votes once."""
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    vec = F.col(vec_col) if dims is None else F.slice(F.col(vec_col), 1, dims)
+    f = feats.select(
+        F.col(id_col).alias("_src"),
+        F.posexplode(vec).alias("_pos0", "_val"),
+    )
+    return (
+        e.join(f, "_src")
+        .groupBy(F.col("_dst").alias("id"), (F.col("_pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            (F.round(F.avg(F.col("_val").cast("double")), 6) + F.lit(0.0))
+            .alias("mean_val"),
+        )
+    )

@@ -244,6 +244,30 @@ def test_domain_link_graph_collapses_and_drops_self(spark):
     assert got == {("example.org", "b.com"): 2, ("c.co.uk", "b.com"): 1}
 
 
+def test_neighbor_mean_features_matches_python(spark):
+    from kg_microbe_spark.operators.projection import neighbor_mean_features
+
+    feats = spark.createDataFrame(
+        [(i, [float(i), float(i * 10)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    # 0→1, 1→1, 2→3, 3→3, plus a parallel duplicate edge 0→1
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 1), (0, 1), (2, 3), (3, 3)], "src long, dst long"
+    )
+    got = {
+        (r.id, r.pos): (r.n_neighbors, r.mean_val)
+        for r in neighbor_mean_features(
+            edges, feats, "src", "dst", "vec_id", "embedding"
+        ).collect()
+    }
+    # dst 1 averages feats of {0, 1} (duplicate edge collapses)
+    assert got[(1, 1)] == (2, 0.5) and got[(1, 2)] == (2, 5.0)
+    # dst 3 averages feats of {2, 3}
+    assert got[(3, 1)] == (2, 2.5) and got[(3, 2)] == (2, 25.0)
+    assert set(got) == {(1, 1), (1, 2), (3, 1), (3, 2)}
+
+
 def test_unigram_logprob_matches_python(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {
