@@ -4956,6 +4956,41 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix construction — executes the SHIPPED
+    ``mixture_sample`` (operators/sampling.py: largest feasible mix at
+    the prescribed shares, |groups|-row count frame + zero-shuffle
+    md5-threshold selection, hash-prefix stable per group)."""
+    from kg_microbe_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+_MIXTURE_SQL = """
+WITH t AS (
+  SELECT * FROM (VALUES ('src0', 5e-1), ('src1', 3e-1), ('src2', 2e-1)) AS t(g, share)
+),
+c AS (
+  SELECT source AS g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+nout AS (SELECT MIN(c.cnt / t.share) AS n_out FROM c JOIN t USING (g)),
+cuts AS (
+  SELECT t.g,
+         floor(least(1e0, t.share * (SELECT n_out FROM nout) / c.cnt)
+               * 10000 + 5e-1) AS cut
+  FROM t JOIN c USING (g)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cuts ON d.source = cuts.g
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < cuts.cut
+"""
+
+
 NMF_DIMS = 8
 
 
@@ -5215,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence_pmi": q_entity_cooccurrence_pmi,
         "decontaminate_spans": q_decontaminate_spans,
         "neighbor_mean_features": q_neighbor_mean_features,
+        "mixture_sample": q_mixture_sample,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5396,6 +5432,7 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         "entity_cooccurrence_pmi": _COOC_PMI_SQL,
         "decontaminate_spans": _DECONTAM_SPANS_SQL,
         "neighbor_mean_features": _NMF_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

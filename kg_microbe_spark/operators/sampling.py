@@ -141,3 +141,55 @@ def split_counts(df: DataFrame, key_col: str, **kwargs) -> Dict[str, int]:
     scale result; the full frame never leaves the executors)."""
     rows = hash_split(df, key_col, **kwargs).groupBy("split").count().collect()
     return {r["split"]: r["count"] for r in rows}
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets: Dict[str, float],
+) -> DataFrame:
+    """Build a training mix with prescribed group shares ("50% web,
+    30% wiki, 20% books") — the mix-construction step every LLM data
+    recipe ends with. The mix is the LARGEST feasible: n_out =
+    min_g(count_g / share_g), each group then keeps the deterministic
+    hash fraction share_g·n_out/count_g of its rows.
+
+    Scale shape: the only aggregation is the |groups|-row count frame
+    (collected — dimension-sized by definition of a mix recipe); the
+    selection itself is the zero-shuffle md5-threshold filter of
+    ``hash_sample``, so membership is stable under repartitioning,
+    re-runs, and engine migrations, and growing one group's corpus
+    only ever APPENDS to the others' selections (per-group cuts are
+    hash-prefix stable)."""
+    import math
+
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    filtered = df.filter(F.col(group_col).isin(*targets.keys()))
+    counts = {
+        r["g"]: r["c"]
+        for r in filtered.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |groups| rows — dimension-sized by contract
+    }
+    absent = sorted(set(targets) - set(counts))
+    if absent:
+        raise ValueError(f"target groups missing from the data: {absent}")
+    n_out = min(counts[g] / s for g, s in targets.items())
+    # floor(x + 0.5) instead of round(): identical on every engine
+    # (Python round() is banker's; SQL ROUND is away-from-zero)
+    cuts = {
+        g: int(math.floor(min(1.0, s * n_out / counts[g]) * RESOLUTION + 0.5))
+        for g, s in targets.items()
+    }
+    cut_map = F.create_map(
+        *[F.lit(x) for gc in cuts.items() for x in gc]
+    )
+    return filtered.filter(
+        hash_bucket(F.col(key_col).cast("string"))
+        < cut_map[F.col(group_col)]
+    )

@@ -268,6 +268,39 @@ def test_neighbor_mean_features_matches_python(spark):
     assert set(got) == {(1, 1), (1, 2), (3, 1), (3, 2)}
 
 
+def test_mixture_sample_shares_and_stability(spark):
+    from kg_microbe_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 400 else ("b" if i < 600 else "c")) for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    targets = {"a": 0.6, "b": 0.3, "c": 0.1}
+    out = mixture_sample(df, "doc_id", "g", targets).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.doc_id)
+    # feasibility bound: n_out = min(400/.6, 200/.3, 100/.1) = 666.67
+    # → a keeps 400/400=1.0, b keeps .3*666.67/200≈1.0, c keeps ~0.667
+    assert len(by_g["a"]) == 400
+    assert len(by_g["b"]) == 200
+    assert 0.5 * 100 < len(by_g["c"]) < 0.85 * 100  # hash fraction ≈ 2/3
+    # determinism: rerun selects the identical set
+    out2 = mixture_sample(df, "doc_id", "g", targets).collect()
+    assert {(r.doc_id, r.g) for r in out} == {(r.doc_id, r.g) for r in out2}
+    # prefix stability: growing group a only APPENDS to b/c selections
+    grown = df.union(
+        spark.createDataFrame([(i, "a") for i in range(700, 900)], "doc_id long, g string")
+    )
+    out3 = mixture_sample(grown, "doc_id", "g", targets).collect()
+    by_g3 = {}
+    for r in out3:
+        by_g3.setdefault(r.g, set()).add(r.doc_id)
+    assert by_g["c"] <= by_g3["c"] and by_g["b"] <= by_g3["b"]
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "g", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "g", {"a": 0.9, "zzz": 0.1})
+
+
 def test_unigram_logprob_matches_python(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {
