@@ -3114,19 +3114,27 @@ def _pagerank_sql(
     iterations: int = 3,
     damping: float = 0.85,
     edges_cte: str = _PAGERANK_ORDERS_EDGES,
+    weighted: bool = False,
 ) -> str:
     # e-notation literals keep DuckDB in DOUBLE (a plain 0.15 parses as
     # DECIMAL and the whole chain — and the result type — goes decimal);
     # 1-damping rendered from the same float Python/Spark computes.
-    # edges_cte: CTE chain ending in e(src, dst) — callers swap in any
-    # edge derivation (orders multigraph, domain link graph, ...).
+    # edges_cte: CTE chain ending in e(src, dst) — or e(src, dst, w)
+    # with w DOUBLE when weighted — callers swap in any edge derivation
+    # (orders multigraph, domain link graph, ...).
     one_minus_d = f"{1.0 - damping:.17e}"
     d = f"{damping:.17e}"
+    deg_cte = (
+        "deg AS (SELECT src, SUM(w) AS d FROM e GROUP BY src)"
+        if weighted
+        else "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)"
+    )
+    contrib = "SUM(p.r * e.w / deg.d)" if weighted else "SUM(p.r / deg.d)"
     sql = [f"""
 WITH {edges_cte},
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 nn AS (SELECT COUNT(*) AS cnt FROM nodes),
-deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+{deg_cte},
 r0 AS (SELECT id, 1e0 / cnt AS r FROM nodes CROSS JOIN nn)"""]
     for k in range(1, iterations + 1):
         sql.append(f""",
@@ -3134,7 +3142,7 @@ r{k} AS (
   SELECT nd.id, nd.cnt, ({one_minus_d} / nd.cnt) + {d} * COALESCE(s.m, 0e0) AS r
   FROM (SELECT id, cnt FROM nodes CROSS JOIN nn) nd
   LEFT JOIN (
-    SELECT e.dst AS id, SUM(p.r / deg.d) AS m
+    SELECT e.dst AS id, {contrib} AS m
     FROM e JOIN r{k-1} p ON e.src = p.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst
   ) s ON nd.id = s.id
@@ -4782,6 +4790,27 @@ def q_domain_pagerank(spark, sf_dir):
     return pagerank(g, "src_domain", "dst_domain", iterations=2, damping=0.85)
 
 
+def q_domain_pagerank_weighted(spark, sf_dir):
+    """Weighted domain PageRank — rank mass splits proportionally to
+    the link graph's n_links edge weights (``pagerank`` weight_col
+    path, operators/pagerank.py: contributions rank·w/W_out, parallel
+    edges' weights add). Same PSL CTEs; the oracle's unrolled steps
+    carry w through SUM(r·w/W)."""
+    from kg_microbe_spark.operators.linkgraph import domain_link_graph
+    from kg_microbe_spark.operators.pagerank import pagerank
+
+    fx = _linkgraph_fixture(_t(spark, sf_dir, "documents"))
+    g = domain_link_graph(fx, "doc_id", "url", "text")
+    return pagerank(
+        g,
+        "src_domain",
+        "dst_domain",
+        iterations=2,
+        damping=0.85,
+        weight_col="n_links",
+    )
+
+
 FP_WINDOW, FP_MIN_SHARED, FP_MAX_FREQ = 3, 2, 6
 
 
@@ -5251,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "neighbor_mean_features": q_neighbor_mean_features,
         "mixture_sample": q_mixture_sample,
+        "domain_pagerank_weighted": q_domain_pagerank_weighted,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5433,6 +5463,18 @@ e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM per_page)""",
         "decontaminate_spans": _DECONTAM_SPANS_SQL,
         "neighbor_mean_features": _NMF_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "domain_pagerank_weighted": _pagerank_sql(
+            iterations=2,
+            damping=0.85,
+            weighted=True,
+            edges_cte=_LINKGRAPH_CTES
+            + """,
+e AS (
+  SELECT src_domain AS src, dst_domain AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM per_page GROUP BY src_domain, dst_domain
+)""",
+        ),
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

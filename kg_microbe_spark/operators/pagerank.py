@@ -36,26 +36,48 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` synchronous power-method steps from
-    a uniform start over nodes = distinct(src ∪ dst); parallel edges
-    collapse (distinct) so each link counts once."""
+    a uniform start over nodes = distinct(src ∪ dst). Unweighted
+    (default): parallel edges collapse (distinct) so each link counts
+    once. With ``weight_col`` (e.g. the domain link graph's n_links):
+    contributions split proportionally to edge weight — rank·w/W_out —
+    and parallel edges' weights ADD. Same per-iteration plan either
+    way: one equi-join + one combinable groupBy(dst)."""
     if iterations < 1:
         raise ValueError(f"iterations must be ≥ 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
+        ed = e.join(deg, on="src").withColumn("_w", F.lit(1.0))
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        deg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
+        ed = e.join(deg, on="src")
     nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
     n_df = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    ed = e.join(deg, on="src")
     base = nodes.crossJoin(n_df)
     ranks = base.select("id", (F.lit(1.0) / F.col("_n")).alias("rank"))
     for i in range(iterations):
         contribs = (
             ed.join(ranks.withColumnRenamed("id", "src"), on="src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_m"))
+            .agg(
+                F.sum(F.col("rank") * F.col("_w") / F.col("_deg")).alias("_m")
+            )
         )
         ranks = (
             base.join(contribs.withColumnRenamed("dst", "id"), on="id", how="left")

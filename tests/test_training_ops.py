@@ -532,3 +532,34 @@ def test_domain_pagerank_composition(spark):
     # everyone links hub.com → it must dominate
     assert ranks["hub.com"] == max(ranks.values())
     assert ranks["a.org"] > ranks["b.org"]  # a.org has an inlink, b/c none
+
+
+def test_weighted_pagerank_proportional_split(spark):
+    from kg_microbe_spark.operators.pagerank import pagerank
+
+    # s splits 3:1 between a and b; t is a sink feeding nothing
+    edges = spark.createDataFrame(
+        [("s", "a", 3), ("s", "b", 1)], "src string, dst string, w long"
+    )
+    ranks = {
+        r.id: r.rank
+        for r in pagerank(
+            edges, "src", "dst", iterations=1, weight_col="w"
+        ).collect()
+    }
+    base = 0.15 / 3
+    assert ranks["a"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75)
+    assert ranks["b"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25)
+    assert ranks["s"] == pytest.approx(base)
+    # parallel edges add: (s,a,2)+(s,a,1) == (s,a,3)
+    edges2 = spark.createDataFrame(
+        [("s", "a", 2), ("s", "a", 1), ("s", "b", 1)],
+        "src string, dst string, w long",
+    )
+    ranks2 = {
+        r.id: r.rank
+        for r in pagerank(
+            edges2, "src", "dst", iterations=1, weight_col="w"
+        ).collect()
+    }
+    assert ranks2 == pytest.approx(ranks)
