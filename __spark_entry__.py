@@ -5194,22 +5194,249 @@ GROUP BY t.doc_id
 """
 
 
+def _anchors_fixture(d):
+    """Deterministic HTML bodies from doc_id arithmetic: a main link
+    with messy-whitespace Title-Case anchor, a repeat link to the same
+    domain whose anchor normalizes equal (n_mentions > n_pages), an
+    image link with empty anchor (filtered), and a co.uk link (PSL
+    eTLD+1 path)."""
+    n5 = (F.col("doc_id") % 5).cast("string")
+    n7 = (F.col("doc_id") % 7).cast("string")
+    guide = F.when(F.col("doc_id") % 2 == 0, F.lit("  Guide ")).otherwise(
+        F.lit(" ")
+    )
+    guide_lc = F.when(F.col("doc_id") % 2 == 0, F.lit(" guide")).otherwise(
+        F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://out'),
+            n5,
+            F.lit(".com/p/"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit('" class="l">  Topic  '),
+            n7,
+            guide,
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit('<span>x</span><a href="https://out'),
+                    n5,
+                    F.lit('.com/q">topic '),
+                    n7,
+                    guide_lc,
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<a href="https://img'),
+                    n5,
+                    F.lit('.net/i.png"><img/></a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit('<a href="http://blog.out'),
+                    ((F.col("doc_id") + 1) % 5).cast("string"),
+                    F.lit('.co.uk/x">Read   More</a>'),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+
+
+def q_anchor_profile(spark, sf_dir):
+    """Incoming-anchor-text profiles — executes the SHIPPED
+    ``anchor_text_profile`` + ``top_anchors`` (operators/anchors.py:
+    positional zip of the two <a>-pattern capture groups, two
+    map-side-combinable aggregations, post-aggregation top-k window).
+    The web-graph alias signal the reference gets from curated synonym
+    tables (kg_microbe merge synonym columns)."""
+    from kg_microbe_spark.operators.anchors import (
+        anchor_text_profile,
+        top_anchors,
+    )
+
+    fx = _anchors_fixture(_t(spark, sf_dir, "documents"))
+    return top_anchors(anchor_text_profile(fx, "doc_id", "html"), 3)
+
+
+_ANCHORS_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         '<p>' || text || '</p><a href="https://out'
+         || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+         || CAST(doc_id % 11 AS VARCHAR) || '" class="l">  Topic  '
+         || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '  Guide ' ELSE ' ' END)
+         || '</a>'
+         || (CASE WHEN doc_id % 3 = 0
+               THEN '<span>x</span><a href="https://out'
+                    || CAST(doc_id % 5 AS VARCHAR) || '.com/q">topic '
+                    || CAST(doc_id % 7 AS VARCHAR)
+                    || (CASE WHEN doc_id % 2 = 0 THEN ' guide' ELSE '' END)
+                    || '</a>'
+               ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+               THEN '<a href="https://img' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.net/i.png"><img/></a>'
+               ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+               THEN '<a href="http://blog.out' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                    || '.co.uk/x">Read   More</a>'
+               ELSE '' END)
+         AS html
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '<a\s+href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html, '<a\s+href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS atext
+  FROM fx
+),
+norm AS (
+  SELECT doc_id, href,
+         lower(trim(regexp_replace(atext, '\s+', ' ', 'g'))) AS anchor
+  FROM pairs
+),
+hosted AS (
+  SELECT doc_id, anchor,
+         lower(string_split(string_split(
+           regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@')[-1], ':')[1]) AS dst_host
+  FROM norm WHERE anchor <> ''
+),
+doms AS (
+  SELECT doc_id, anchor,
+         CASE WHEN len(string_split(dst_host, '.')) <= 2 THEN dst_host
+              WHEN string_split(dst_host, '.')[-2] || '.' || string_split(dst_host, '.')[-1]
+                   IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+                THEN string_split(dst_host, '.')[-3] || '.'
+                     || string_split(dst_host, '.')[-2] || '.'
+                     || string_split(dst_host, '.')[-1]
+              ELSE string_split(dst_host, '.')[-2] || '.' || string_split(dst_host, '.')[-1]
+         END AS dst_domain
+  FROM hosted
+),
+per_page AS (
+  SELECT dst_domain, anchor, doc_id, COUNT(*) AS cnt
+  FROM doms GROUP BY dst_domain, anchor, doc_id
+),
+profile AS (
+  SELECT dst_domain, anchor,
+         COUNT(*) AS n_pages,
+         CAST(SUM(cnt) AS BIGINT) AS n_mentions
+  FROM per_page GROUP BY dst_domain, anchor
+)
+SELECT dst_domain, anchor, n_pages, n_mentions, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY dst_domain
+    ORDER BY n_pages DESC, n_mentions DESC, anchor ASC) AS INT) AS rank
+  FROM profile
+) WHERE rank <= 3
+"""
+
+
+def _fusion_fixture(d):
+    """Deterministic multi-source triple extractions: (subj, pred, obj,
+    source) from doc_id residues, confidence p = (doc_id*7 % 20)/20 in
+    [0, 0.95]; every even doc contributes a SECOND extraction from the
+    same source with a different p (exercises per-source max-pooling
+    before the noisy-OR)."""
+    base = d.select(
+        F.concat(F.lit("E"), (F.col("doc_id") % 17).cast("string")).alias(
+            "subj"
+        ),
+        F.concat(F.lit("rel"), (F.col("doc_id") % 3).cast("string")).alias(
+            "pred"
+        ),
+        F.concat(F.lit("V"), (F.col("doc_id") % 23).cast("string")).alias(
+            "obj"
+        ),
+        F.concat(F.lit("ext"), (F.col("doc_id") % 4).cast("string")).alias(
+            "source"
+        ),
+        ((F.col("doc_id") * 7 % 20).cast("double") / F.lit(20.0)).alias("p"),
+        "doc_id",
+    )
+    repeat = base.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "p", (F.col("doc_id") * 13 % 20).cast("double") / F.lit(20.0)
+    )
+    return base.unionByName(repeat).drop("doc_id")
+
+
+def q_triple_fusion(spark, sf_dir):
+    """Knowledge-Vault-style noisy-OR confidence fusion — executes the
+    SHIPPED ``fuse_triple_confidence`` (operators/fusion.py: per-source
+    max-pool then 1-prod(1-p) via expm1/log1p sums, both aggregations
+    map-side combinable; provenance as the sorted source list).
+    Generalizes the reference merge step's first-wins provenance
+    (kg_microbe merge_utils) to probabilistic multi-source witness."""
+    from kg_microbe_spark.operators.fusion import fuse_triple_confidence
+
+    fx = _fusion_fixture(_t(spark, sf_dir, "documents"))
+    return fuse_triple_confidence(fx)
+
+
+_FUSION_SQL = """
+WITH base AS (
+  SELECT 'E' || CAST(doc_id % 17 AS VARCHAR) AS subj,
+         'rel' || CAST(doc_id % 3 AS VARCHAR) AS pred,
+         'V' || CAST(doc_id % 23 AS VARCHAR) AS obj,
+         'ext' || CAST(doc_id % 4 AS VARCHAR) AS source,
+         CAST(doc_id * 7 % 20 AS DOUBLE) / 2e1 AS p
+  FROM documents
+  UNION ALL
+  SELECT 'E' || CAST(doc_id % 17 AS VARCHAR),
+         'rel' || CAST(doc_id % 3 AS VARCHAR),
+         'V' || CAST(doc_id % 23 AS VARCHAR),
+         'ext' || CAST(doc_id % 4 AS VARCHAR),
+         CAST(doc_id * 13 % 20 AS DOUBLE) / 2e1
+  FROM documents WHERE doc_id % 2 = 0
+),
+per_source AS (
+  SELECT subj, pred, obj, source,
+         MAX(LEAST(p, 1e0 - 1e-12)) AS p_src
+  FROM base GROUP BY subj, pred, obj, source
+)
+SELECT subj, pred, obj,
+       COUNT(*) AS n_sources,
+       ROUND(1e0 - exp(SUM(ln(1e0 - p_src))), 6) + 0e0 AS fused_conf,
+       ROUND(MAX(p_src), 6) + 0e0 AS max_p,
+       string_agg(source, ',' ORDER BY source) AS sources
+FROM per_source GROUP BY subj, pred, obj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
-    # Positions 1-8 are the entries that had no CORRECTNESS_r04 row (5 never
-    # driver-checked + 3 displaced r3-greens); 9-10 are new this round.
-    # Positions 51+ are long-stable multi-round-green entries whose SURVEY
-    # ops remain driver-covered by in-window twins: W5 cumulative sum via
-    # histogram_cutoff, W3 top-k via topk_per_priority, A3 via
-    # salted_group_collect (same oracle as group_collect), P7 via
-    # histogram_cutoff, exact-ANN via ann_cosine_topk, J1/J4/J5/A5 via
-    # mention_scan / two_hop_composition / graph_stats.
+    # Every window slot goes to an entry that has NEVER had a driver
+    # CORRECTNESS row (61 never-checked of 114 registered; the other 11
+    # never-checked queue in the tail for the r6 rotation). Positions 51+
+    # are multi-round-green entries whose SURVEY ops remain driver-covered
+    # by in-window twins: W5 cumulative sum via histogram_cutoff, W3 top-k
+    # via topk_per_priority, A3 via salted_group_collect (same oracle as
+    # group_collect), P7 via histogram_cutoff, exact-ANN via
+    # ann_cosine_topk, J1/J4/J5/A5 via mention_scan / two_hop_composition /
+    # graph_stats.
     return {
+        # Seven never-checked training-pipeline entries promoted into the
+        # slots freed by displacing r3/r4-green rows (see tail comments):
+        "kg_negatives": q_kg_negatives,
+        "benchmark_decontaminate": q_benchmark_decontaminate,
+        "token_chunking": q_token_chunking,
+        "sequence_packing": q_sequence_packing,
+        "bloom_prefilter": q_bloom_prefilter,
+        "dsir_logratio": q_dsir_logratio,
+        "mixture_sample": q_mixture_sample,
         "fuzzy_name_index": q_fuzzy_name_index,
-        "xref_routing": q_xref_routing,
-        "sanitize_tables": q_sanitize_tables,
-        "kgx_roundtrip": q_kgx_roundtrip,
         "kgx_tar_roundtrip": q_kgx_tar_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "neo4j_bulk_roundtrip": q_neo4j_bulk_roundtrip,
@@ -5249,28 +5476,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_graph": q_triangle_count_graph,
         "group_sample_documents": q_group_sample_documents,
         "random_projection_embed": q_random_projection_embed,
-        "kg_triples": q_kg_triples,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "resolve_organism": q_resolve_organism,
-        "term_linking": q_term_linking,
-        "streaming_ingest": q_streaming_ingest,
         # --- tail: rotated out of the 50-entry driver window this round ---
-        # (kg_negatives: NEW this round but landed after all 50 window
-        # slots were taken by entries receiving their FIRST driver check;
-        # exact-parity pytest vs a Python md5 reference stands in until
-        # the r6 rotation — first in line)
-        "kg_negatives": q_kg_negatives,
-        # (NEW late-r5 training-data operators: oracle-checked locally,
-        # queued immediately after kg_negatives for the r6 rotation)
-        "benchmark_decontaminate": q_benchmark_decontaminate,
-        "token_chunking": q_token_chunking,
-        "sequence_packing": q_sequence_packing,
-        "bloom_prefilter": q_bloom_prefilter,
+        # (never-checked entries queued for the r6 rotation; all
+        # oracle-verified locally at sf0.01 + sf0.001. Families already
+        # in-window via twins: pagerank via pagerank_entities, PMI via
+        # pmi_collocations, chunking via token_chunking, decontamination
+        # via benchmark_decontaminate, lm-quality via dsir_logratio)
         "domain_link_graph": q_domain_link_graph,
         "unigram_logprob": q_unigram_logprob,
-        "dsir_logratio": q_dsir_logratio,
         "domain_pagerank": q_domain_pagerank,
         "fingerprint_overlap": q_fingerprint_overlap,
         "sequence_texts": q_sequence_texts,
@@ -5279,8 +5495,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence_pmi": q_entity_cooccurrence_pmi,
         "decontaminate_spans": q_decontaminate_spans,
         "neighbor_mean_features": q_neighbor_mean_features,
-        "mixture_sample": q_mixture_sample,
         "domain_pagerank_weighted": q_domain_pagerank_weighted,
+        # (NEW this round, queued behind the earlier never-checked tail
+        # entries for the r6 rotation)
+        "anchor_profile": q_anchor_profile,
+        "triple_fusion": q_triple_fusion,
+        # (xref_routing J9 / sanitize_tables F4 / kgx_roundtrip S11:
+        # r3-green; kg_triples / resolve_organism / term_linking /
+        # streaming_ingest: r4-green. All displaced so every window slot
+        # verifies a never-checked entry; their operator files stay
+        # in-window via fuzzy_name_index (lexicon.py), kgx_tar_roundtrip
+        # (io.py sinks), mention_scan-fixture streaming tests, and the
+        # flagship pipeline exercised by bench.py/entry())
+        "xref_routing": q_xref_routing,
+        "sanitize_tables": q_sanitize_tables,
+        "kgx_roundtrip": q_kgx_roundtrip,
+        "kg_triples": q_kg_triples,
+        "resolve_organism": q_resolve_organism,
+        "term_linking": q_term_linking,
+        "streaming_ingest": q_streaming_ingest,
         # (mention_scan_sharded: r4-green, IDENTICAL oracle + operator file
         # as the in-window mention_scan — displaced for the new
         # sliding_window_events row; dedup_most_complete A2/W1: r2-r4-green
@@ -5475,6 +5708,8 @@ e AS (
   FROM per_page GROUP BY src_domain, dst_domain
 )""",
         ),
+        "anchor_profile": _ANCHORS_SQL,
+        "triple_fusion": _FUSION_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,
