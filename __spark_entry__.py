@@ -5414,6 +5414,288 @@ FROM per_source GROUP BY subj, pred, obj
 """
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Name-variant entity resolution — executes the SHIPPED
+    ``resolve_entities`` (operators/entity_resolution.py: token-set
+    normalize → prefix-filtered Jaccard self-join (setjoin.py) →
+    alternating-star connected components (components.py) → min-id
+    canonicalization). The open-web replacement for the reference's
+    curated xref-equivalence merge. Fixture: 106 deterministic
+    entities from doc_id % 120 — per base entity a 'corp' /
+    'corporation' / 'corporation ltd' variant chain where A~B (0.5)
+    and B~C (0.75) but NOT A~C (0.4), so clusters require
+    transitivity; some bases drop a variant to yield pair clusters
+    and singletons. Oracle: all-pairs token Jaccard (the prefix
+    filter is complete, so semantics coincide) + recursive-CTE
+    reachability."""
+    from kg_microbe_spark.operators.entity_resolution import (
+        resolve_entities,
+    )
+
+    m = F.col("m")
+    k = m % 40
+    v = m % 3
+    ents = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 120).alias("m"))
+        .distinct()
+        .filter(~((v == 2) & (k % 4 == 0)) & ~((v == 1) & (k % 10 == 3)))
+        .select(
+            F.concat(
+                F.lit("e"), F.lpad(m.cast("string"), 3, "0")
+            ).alias("eid"),
+            F.concat(
+                F.lit("t"),
+                k.cast("string"),
+                F.lit(" z"),
+                k.cast("string"),
+                F.when(v == 0, F.lit(" corp"))
+                .when(v == 1, F.lit(" corporation"))
+                .otherwise(F.lit(" corporation ltd")),
+            ).alias("name"),
+        )
+    )
+    return resolve_entities(ents, "eid", "name", 0.5)
+
+
+_ER_SQL = """
+WITH RECURSIVE
+ms AS (SELECT DISTINCT doc_id % 120 AS m FROM documents),
+ents AS (
+  SELECT 'e' || lpad(CAST(m AS VARCHAR), 3, '0') AS eid,
+         m % 40 AS k, m % 3 AS v
+  FROM ms
+  WHERE NOT (m % 3 = 2 AND (m % 40) % 4 = 0)
+    AND NOT (m % 3 = 1 AND (m % 40) % 10 = 3)
+),
+toks AS (
+  SELECT eid, unnest(
+    ['t' || CAST(k AS VARCHAR), 'z' || CAST(k AS VARCHAR)]
+    || (CASE v WHEN 0 THEN ['corp'] WHEN 1 THEN ['corporation']
+        ELSE ['corporation', 'ltd'] END)) AS w
+  FROM ents
+),
+sizes AS (SELECT eid, COUNT(*) AS n FROM toks GROUP BY eid),
+cand AS (
+  SELECT a.eid AS ea, b.eid AS eb, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.w = b.w AND a.eid < b.eid
+  GROUP BY a.eid, b.eid
+),
+matches AS (
+  SELECT ea, eb FROM cand
+  JOIN sizes sa ON sa.eid = ea JOIN sizes sb ON sb.eid = eb
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
+),
+bidir AS (
+  SELECT ea AS s, eb AS d FROM matches
+  UNION ALL SELECT eb, ea FROM matches
+),
+reach(n, r) AS (
+  SELECT eid, eid FROM ents
+  UNION
+  SELECT b.d, reach.r FROM reach JOIN bidir b ON b.s = reach.n
+),
+labels AS (SELECT n AS eid, MIN(r) AS canonical_id FROM reach GROUP BY n)
+SELECT eid, canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         AS cluster_size
+FROM labels
+"""
+
+
+LP_ITERATIONS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised node typing — executes the SHIPPED
+    ``propagate_labels`` (operators/labelprop.py: clamped majority
+    propagation, one edge join + two combinable aggs per round, min_by
+    argmax with deterministic smaller-label tie-break). Fixture: 60
+    nodes in four 15-node chains, seeds every 6th node with the type
+    changing every 12 — 3 rounds reach distance-3 nodes and force one
+    equal-vote tie (resolved to the smaller label) while chain breaks
+    leave NULL-labeled nodes. Oracle: the same rounds unrolled as
+    CTEs."""
+    from kg_microbe_spark.operators.labelprop import propagate_labels
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).alias("m"))
+        .distinct()
+    )
+    nodes = ms.select(
+        F.concat(F.lit("n"), F.lpad(F.col("m").cast("string"), 2, "0")).alias(
+            "node"
+        ),
+        F.when(
+            F.col("m") % 6 == 0,
+            F.concat(F.lit("T"), ((F.col("m") / 12).cast("long") % 3).cast("string")),
+        ).alias("seed"),
+    )
+    edges = ms.filter((F.col("m") % 15 != 14) & (F.col("m") < 59)).select(
+        F.concat(F.lit("n"), F.lpad(F.col("m").cast("string"), 2, "0")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("n"), F.lpad((F.col("m") + 1).cast("string"), 2, "0")
+        ).alias("dst"),
+    )
+    return propagate_labels(
+        nodes, edges, iterations=LP_ITERATIONS
+    )
+
+
+def _labelprop_sql(iterations: int) -> str:
+    rounds = []
+    for i in range(1, iterations + 1):
+        prev = "lab0" if i == 1 else f"lab{i - 1}"
+        rounds.append(
+            f"""votes{i} AS (
+  SELECT b.s AS node, l.label, COUNT(*) AS c
+  FROM bidir b JOIN {prev} l ON l.node = b.d
+  WHERE l.label IS NOT NULL
+  GROUP BY b.s, l.label
+),
+win{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM votes{i}
+  ) WHERE rn = 1
+),
+lab{i} AS (
+  SELECT n.node, COALESCE(n.seed, w.label, p.label) AS label
+  FROM nodes n
+  LEFT JOIN win{i} w USING (node)
+  LEFT JOIN {prev} p USING (node)
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH ms AS (SELECT DISTINCT doc_id % 60 AS m FROM documents),
+nodes AS (
+  SELECT 'n' || lpad(CAST(m AS VARCHAR), 2, '0') AS node,
+         CASE WHEN m % 6 = 0
+              THEN 'T' || CAST((m // 12) % 3 AS VARCHAR) END AS seed
+  FROM ms
+),
+edges AS (
+  SELECT 'n' || lpad(CAST(m AS VARCHAR), 2, '0') AS src,
+         'n' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') AS dst
+  FROM ms WHERE m % 15 <> 14 AND m < 59
+),
+bidir AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM edges
+    UNION ALL SELECT dst, src FROM edges
+  )
+),
+lab0 AS (SELECT node, seed AS label FROM nodes),
+{chain}
+SELECT node, label FROM lab{iterations}
+"""
+
+
+def q_hearst_triples(spark, sf_dir):
+    """Hearst-pattern is-a extraction — executes the SHIPPED
+    ``hearst_triples`` (operators/hearst.py: per-pattern zipped
+    regexp_extract_all + conjunction split, within-doc dedup, one
+    combinable evidence aggregation). The crawl-text source of typed
+    subclass_of edges (the reference's OBO is_a rows,
+    SURVEY strain_subclass family). Fixture appends deterministic
+    'such as' / 'and other' / 'is a' sentences to each document."""
+    from kg_microbe_spark.operators.hearst import hearst_triples
+
+    d = _t(spark, sf_dir, "documents")
+
+    def h5(col):  # letter-only terms: [a-z]+ must match them
+        return F.substring(F.lit("abcde"), (col % 5 + 1).cast("int"), 1)
+
+    def w7(col):
+        return F.substring(F.lit("abcdefg"), (col % 7 + 1).cast("int"), 1)
+
+    a = h5(F.col("doc_id"))
+    b = w7(F.col("doc_id"))
+    c = w7(F.col("doc_id") + 2)
+    e = w7(F.col("doc_id") + 4)
+    f2 = w7(F.col("doc_id") + 1)
+    g = h5(F.col("doc_id") + 1)
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". h"), a, F.lit(" such as w"), b,
+            F.lit(", w"), c, F.lit(" and w"), e, F.lit("."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" w"), f2, F.lit(" and other h"), a, F.lit(".")),
+            ).otherwise(F.lit("")),
+            F.lit(" w"), b, F.lit(" is a h"), g, F.lit("."),
+        ).alias("text"),
+    )
+    return hearst_triples(fx, "doc_id", "text")
+
+
+_HEARST_SQL = r"""
+WITH fx AS (
+  SELECT doc_id,
+         text || '. h' || substr('abcde', CAST(doc_id % 5 + 1 AS INT), 1)
+         || ' such as w' || substr('abcdefg', CAST(doc_id % 7 + 1 AS INT), 1)
+         || ', w' || substr('abcdefg', CAST((doc_id + 2) % 7 + 1 AS INT), 1)
+         || ' and w' || substr('abcdefg', CAST((doc_id + 4) % 7 + 1 AS INT), 1) || '.'
+         || (CASE WHEN doc_id % 3 = 0
+               THEN ' w' || substr('abcdefg', CAST((doc_id + 1) % 7 + 1 AS INT), 1)
+                    || ' and other h' || substr('abcde', CAST(doc_id % 5 + 1 AS INT), 1) || '.'
+               ELSE '' END)
+         || ' w' || substr('abcdefg', CAST(doc_id % 7 + 1 AS INT), 1)
+         || ' is a h' || substr('abcde', CAST((doc_id + 1) % 5 + 1 AS INT), 1) || '.'
+         AS text
+  FROM documents
+),
+m1 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           '\b([a-z]+) such as ([a-z]+(?:, [a-z]+)*(?:,? and [a-z]+)?)', 1)) AS hypernym,
+         unnest(regexp_extract_all(text,
+           '\b([a-z]+) such as ([a-z]+(?:, [a-z]+)*(?:,? and [a-z]+)?)', 2)) AS hypo_list
+  FROM fx
+),
+e1 AS (
+  SELECT doc_id, hypernym,
+         unnest(regexp_split_to_array(hypo_list, ', | and ')) AS hyponym,
+         'such_as' AS pattern
+  FROM m1
+),
+e2 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b([a-z]+) and other ([a-z]+)\b', 2)) AS hypernym,
+         unnest(regexp_extract_all(text, '\b([a-z]+) and other ([a-z]+)\b', 1)) AS hyponym,
+         'and_other' AS pattern
+  FROM fx
+),
+e3 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b([a-z]+) is an? ([a-z]+)\b', 2)) AS hypernym,
+         unnest(regexp_extract_all(text, '\b([a-z]+) is an? ([a-z]+)\b', 1)) AS hyponym,
+         'is_a' AS pattern
+  FROM fx
+),
+ev AS (
+  SELECT DISTINCT doc_id, hyponym, hypernym, pattern FROM (
+    SELECT doc_id, hyponym, hypernym, pattern FROM e1
+    UNION ALL SELECT doc_id, hyponym, hypernym, pattern FROM e2
+    UNION ALL SELECT doc_id, hyponym, hypernym, pattern FROM e3
+  )
+  WHERE hyponym <> '' AND hyponym <> hypernym
+)
+SELECT hyponym, 'subclass_of' AS predicate, hypernym,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       string_agg(DISTINCT pattern, ',' ORDER BY pattern) AS patterns
+FROM ev GROUP BY hyponym, hypernym
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -5500,6 +5782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries for the r6 rotation)
         "anchor_profile": q_anchor_profile,
         "triple_fusion": q_triple_fusion,
+        "entity_resolution": q_entity_resolution,
+        "label_propagation": q_label_propagation,
+        "hearst_triples": q_hearst_triples,
         # (xref_routing J9 / sanitize_tables F4 / kgx_roundtrip S11:
         # r3-green; kg_triples / resolve_organism / term_linking /
         # streaming_ingest: r4-green. All displaced so every window slot
@@ -5710,6 +5995,9 @@ e AS (
         ),
         "anchor_profile": _ANCHORS_SQL,
         "triple_fusion": _FUSION_SQL,
+        "entity_resolution": _ER_SQL,
+        "label_propagation": _labelprop_sql(LP_ITERATIONS),
+        "hearst_triples": _HEARST_SQL,
         "pii_redaction": _PII_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "boilerplate_lines": _BOILERPLATE_SQL,

@@ -1,0 +1,85 @@
+"""Semi-supervised label propagation: type untyped KG nodes from
+their neighbors.
+
+Web extraction yields many entities with no category assertion; the
+curated side of the graph (the reference's ontology nodes carry Biolink
+categories — kg_microbe transform node tables) supplies typed seeds.
+Label propagation pushes those seed types along edges: each round,
+every non-seed node adopts the majority type among its labeled
+neighbors (ties broken by lexicographically smallest type — fully
+deterministic), keeping its previous label when no neighbor is labeled
+yet. Seeds are clamped and never change.
+
+100-TB shape per round (the loop is O(iterations), typically 2-5):
+
+* ONE equi-join of the bidirectional edge list against current labels —
+  shuffle O(|E|);
+* ONE ``groupBy(node, label).count()`` — map-side combinable, so a hub
+  node's million incident edges shrink to (hub, label) partials before
+  the shuffle;
+* ONE ``min_by`` argmax per node — again partial-aggregatable (the
+  same skew-absorbing form as operators/dedup.py's A2 rewrite);
+* ``localCheckpoint`` cuts lineage each round (swap for ``checkpoint``
+  on a cluster), exactly as operators/closure.py / pagerank.py do.
+
+No per-node neighbor lists are ever collected; state per node is one
+label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def propagate_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    seed_col: str = "seed",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """nodes(node, seed: nullable type), edges(src, dst) undirected →
+    (node, label) after ``iterations`` rounds of clamped majority
+    propagation. Unreached nodes keep label NULL."""
+    bidir = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("nb"))
+        .unionByName(
+            edges.select(F.col(dst).alias("n"), F.col(src).alias("nb"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nodes.select(
+        F.col(node_col).alias("node"), F.col(seed_col).alias("seed")
+    )
+    labels = seeds.select("node", F.col("seed").alias("label"))
+    for _ in range(iterations):
+        nbr = bidir.join(
+            labels.filter(F.col("label").isNotNull()).select(
+                F.col("node").alias("nb"), F.col("label")
+            ),
+            on="nb",
+        )
+        votes = nbr.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        winners = votes.groupBy("n").agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("won")
+        )
+        labels = (
+            seeds.join(winners, on=F.col("node") == F.col("n"), how="left")
+            .join(
+                labels.select("node", F.col("label").alias("prev")),
+                on="node",
+                how="left",
+            )
+            .select(
+                "node",
+                F.coalesce("seed", "won", "prev").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
