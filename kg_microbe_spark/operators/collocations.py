@@ -75,6 +75,57 @@ def pmi_bigrams(
     )
 
 
+def _capped_unit_sets(
+    df: DataFrame, unit_col: str, entity_col: str, cap: int
+) -> DataFrame:
+    """Per-unit sorted distinct entity array, capped (kg_triples
+    discipline: a hub unit can never explode downstream pair work)."""
+    return (
+        df.select(F.col(unit_col).alias("u"), F.col(entity_col).alias("e"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.slice(F.sort_array(F.collect_set("e")), 1, cap).alias("es"))
+    )
+
+
+def _pair_counts(sets: DataFrame, cap: int, min_pair_count: int) -> DataFrame:
+    """IN-ROW unordered pair generation over the capped arrays + one
+    combinable count: (ea, eb, n_pair) with ea < eb."""
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "es",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("es"), i + F.lit(2), cap),
+                        lambda y: F.struct(x.alias("ea"), y.alias("eb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.ea", "p.eb")
+    return (
+        pairs.groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    unit_col: str,
+    entity_col: str,
+    min_pair_count: int = 1,
+    max_entities_per_unit: int = 64,
+) -> DataFrame:
+    """Raw co-occurrence pair counts (ea, eb, n_pair), ea < eb — the
+    integer-weighted prior the collective-disambiguation rerank
+    (operators/disambiguation.py) consumes; ``cooccurrence_pmi`` below
+    turns the same counts into PMI scores."""
+    sets = _capped_unit_sets(df, unit_col, entity_col, max_entities_per_unit)
+    return _pair_counts(sets, max_entities_per_unit, min_pair_count)
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     unit_col: str,
@@ -98,40 +149,8 @@ def cooccurrence_pmi(
     with the pair universe. Two combinable groupBys + one broadcast
     1-row n; the pair→marginal joins run on aggregated
     (vocabulary-sized) frames only."""
-    sets = (
-        df.select(F.col(unit_col).alias("u"), F.col(entity_col).alias("e"))
-        .distinct()
-        .groupBy("u")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_set("e")), 1, max_entities_per_unit
-            ).alias("es")
-        )
-    )
-    pairs = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "es",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("es"),
-                            i + F.lit(2),
-                            max_entities_per_unit,
-                        ),
-                        lambda y: F.struct(
-                            x.alias("ea"), y.alias("eb")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.ea", "p.eb")
-    pair_counts = (
-        pairs.groupBy("ea", "eb")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_pair_count)
-    )
+    sets = _capped_unit_sets(df, unit_col, entity_col, max_entities_per_unit)
+    pair_counts = _pair_counts(sets, max_entities_per_unit, min_pair_count)
     ent_counts = (
         sets.select(F.explode("es").alias("e"))
         .groupBy("e")

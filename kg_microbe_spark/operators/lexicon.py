@@ -27,10 +27,16 @@ RANK_FUZZY = 2
 _FUZZY_CATEGORIES = ("biolink:ChemicalEntity",)
 
 
-def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
-    """lexicon(curie,label,synonyms,category,xrefs,deprecated) →
-    name_index(term_norm,curie,label,category,rank) with one winner per
-    term_norm. Small dimension: callers broadcast it."""
+def build_candidate_index(
+    lexicon: DataFrame, stopwords: Sequence[str]
+) -> DataFrame:
+    """ALL candidate links per surface form:
+    (term_norm, curie, label, category, rank) with the best rank kept
+    per (term_norm, curie). ``build_name_index`` collapses this to one
+    winner per term (W4); the collective-linking path
+    (plans/pipeline.py collective_linking=True) keeps every candidate
+    so document coherence — not just the static rank — picks the
+    reading. Small dimension: callers broadcast it."""
     active = lexicon.filter(~F.col("deprecated"))
 
     labels = active.select(
@@ -79,10 +85,21 @@ def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
     stop_norm = {normalize_name_py(s) for s in stopwords}
     union = labels.unionByName(synonyms).unionByName(fuzzy)
     union = union.filter((F.col("term_norm") != "") & ~F.col("term_norm").isin(sorted(stop_norm)))
+    # label/category are functions of curie, so this dedup is exact
+    return union.groupBy("term_norm", "curie", "label", "category").agg(
+        F.min("rank").alias("rank")
+    )
 
+
+def build_name_index(lexicon: DataFrame, stopwords: Sequence[str]) -> DataFrame:
+    """lexicon(curie,label,synonyms,category,xrefs,deprecated) →
+    name_index(term_norm,curie,label,category,rank) with one winner per
+    term_norm (W4: best rank, then smallest curie). Small dimension:
+    callers broadcast it."""
+    candidates = build_candidate_index(lexicon, stopwords)
     w = Window.partitionBy("term_norm").orderBy(F.col("rank").asc(), F.col("curie").asc())
     return (
-        union.withColumn("_rn", F.row_number().over(w))
+        candidates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

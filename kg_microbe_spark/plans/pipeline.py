@@ -95,6 +95,70 @@ def _predicate_dims(spark: SparkSession) -> Tuple[DataFrame, DataFrame]:
     return curated, defaults
 
 
+def _collective_link(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    name_index: DataFrame,
+    stopwords: Sequence[str],
+    _k,
+) -> DataFrame:
+    """Stage 4 alternative (collective_linking=True): keep ALL lexicon
+    candidates per surface form and let document coherence pick the
+    reading — the collective-disambiguation operator over a
+    corpus-derived co-occurrence prior.
+
+    Prior construction bootstraps from the W4 local winners (the default
+    path's own links): their per-page co-occurrence pair counts —
+    in-row capped generation, never a page self-join — weight how well
+    each CANDIDATE coheres with the page's other anchored readings.
+    base_score = (10 - rank) keeps the static rank as the coherence
+    tie-breaker; integer weights keep the stage exactly reproducible.
+    Output schema matches ``link_mentions``'s aggregate: one row per
+    (url, curie) surface-winner with label/category/rank/n_mentions,
+    so canonicalization downstream is identical."""
+    from kg_microbe_spark.operators.collocations import cooccurrence_pairs
+    from kg_microbe_spark.operators.disambiguation import disambiguate
+    from kg_microbe_spark.operators.lexicon import build_candidate_index
+
+    cand_index = _localize(
+        build_candidate_index(lexicon, stopwords), _k("cand_index")
+    )
+    agg_m = mentions.groupBy("url", "term_norm").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    # anchors for the prior = the default W4 winners (local evidence)
+    anchors = agg_m.join(
+        F.broadcast(name_index.select("term_norm", "curie")), "term_norm"
+    ).select("url", "curie")
+    prior = cooccurrence_pairs(
+        anchors, "url", "curie", min_pair_count=1
+    ).select(
+        F.col("ea").alias("ent_a"),
+        F.col("eb").alias("ent_b"),
+        F.col("n_pair").alias("weight"),
+    )
+    cands = agg_m.join(F.broadcast(cand_index), "term_norm")
+    winners = disambiguate(
+        cands.select(
+            F.col("url").alias("doc"),
+            F.col("term_norm").alias("mention"),
+            F.col("curie").alias("entity"),
+            (F.lit(10) - F.col("rank")).alias("base_score"),
+        ),
+        prior,
+    )
+    return (
+        winners.select(
+            F.col("doc").alias("url"),
+            F.col("mention").alias("term_norm"),
+            F.col("entity").alias("curie"),
+        )
+        .join(F.broadcast(cand_index), ["term_norm", "curie"])
+        .join(agg_m, ["url", "term_norm"])
+        .select("url", "curie", "label", "category", "rank", "n_mentions")
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -105,6 +169,7 @@ def run_pipeline(
     validate_extraction: bool = False,
     input_fingerprint: str = "",
     dim_cache_key: Optional[str] = None,
+    collective_linking: bool = False,
 ) -> PipelineResult:
     """Stages 1-8. With a CheckpointManager each stage publishes to parquet
     and resumes idempotently; without one it is a single lazy DAG.
@@ -113,7 +178,10 @@ def run_pipeline(
     with the run config (tau, stopwords, pipeline version) and recorded per
     stage — a resume after the inputs or config changed recomputes instead
     of reading stale checkpoints."""
-    config_fp = f"v{PIPELINE_VERSION}|tau={tau}|stop={','.join(sorted(stopwords))}|in={input_fingerprint}"
+    config_fp = (
+        f"v{PIPELINE_VERSION}|tau={tau}|stop={','.join(sorted(stopwords))}"
+        f"|coll={int(collective_linking)}|in={input_fingerprint}"
+    )
 
     def stage(name: str, fn):
         if checkpoint is not None:
@@ -161,9 +229,14 @@ def run_pipeline(
     # so raw mentions are joined directly and ONE groupBy (url, curie) does
     # both the A8 mention aggregation and the post-routing re-aggregation —
     # two shuffles folded into one.
-    raw_linked = link_mentions(
-        mentions.select("url", "term_norm", F.lit(1).alias("n_mentions")), name_index
-    )
+    if collective_linking:
+        raw_linked = _collective_link(
+            mentions, lexicon, name_index, stopwords, _k
+        )
+    else:
+        raw_linked = link_mentions(
+            mentions.select("url", "term_norm", F.lit(1).alias("n_mentions")), name_index
+        )
     entities = stage(
         "s5_entities",
         lambda: canonicalize_entities(raw_linked, xref_routing),
