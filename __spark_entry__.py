@@ -5803,6 +5803,471 @@ SELECT doc, mention, entity, final_score FROM (
 """
 
 
+def q_kcore_prune(spark, sf_dir):
+    """k-core densification filter — executes the SHIPPED ``kcore``
+    (operators/kcore.py: per-round combinable degree agg + two
+    left-semi edge prunes, localCheckpoint lineage cuts). Fixture: a
+    5-clique, a 7-node chain (fully peels at k=2 in 3 rounds — forces
+    multi-round convergence), a 4-cycle (survives k=2), plus a pendant,
+    a reversed duplicate edge, and a self-loop to exercise
+    canonicalization. Oracle: the same 4 rounds unrolled as CTEs."""
+    from kg_microbe_spark.operators.kcore import kcore
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 25).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    clique = ms.filter(m <= 3).select(
+        m.alias("src"), F.explode(F.sequence(m + 1, F.lit(4))).alias("dst")
+    )
+    chain = ms.filter(m.between(10, 15)).select(
+        m.alias("src"), (m + 1).alias("dst")
+    )
+    cyc = ms.filter(m.between(20, 22)).select(
+        m.alias("src"), (m + 1).alias("dst")
+    ).unionByName(ms.filter(m == 23).select(m.alias("src"), F.lit(20).alias("dst")))
+    extra = (
+        ms.filter(m == 5).select(m.alias("src"), F.lit(0).alias("dst"))
+        .unionByName(ms.filter(m == 11).select(m.alias("src"), F.lit(10).alias("dst")))
+        .unionByName(ms.filter(m == 24).select(m.alias("src"), m.alias("dst")))
+    )
+    edges = clique.unionByName(chain).unionByName(cyc).unionByName(extra)
+    return kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        """WITH ms AS (SELECT DISTINCT CAST(doc_id % 25 AS INT) AS m FROM documents),
+raw AS (
+  SELECT m AS src, j AS dst FROM ms, UNNEST(generate_series(m+1, 4)) AS t(j) WHERE m <= 3
+  UNION ALL SELECT m, m+1 FROM ms WHERE m BETWEEN 10 AND 15
+  UNION ALL SELECT m, m+1 FROM ms WHERE m BETWEEN 20 AND 22
+  UNION ALL SELECT m, 20 FROM ms WHERE m = 23
+  UNION ALL SELECT m, 0 FROM ms WHERE m = 5
+  UNION ALL SELECT m, 10 FROM ms WHERE m = 11
+  UNION ALL SELECT m, m FROM ms WHERE m = 24
+),
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM raw WHERE src <> dst)"""
+    ]
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one ~5× (degree union, semi-filters)
+    # → 5^rounds expansion hangs the planner for minutes at rounds=4.
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM
+  (SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY n),
+s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (SELECT a, b FROM e{p}
+         WHERE a IN (SELECT n FROM s{i}) AND b IN (SELECT n FROM s{i}))"""
+        )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT node, COUNT(*) AS degree FROM
+  (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node HAVING COUNT(*) >= {k}"""
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_taxonomy_rollup(spark, sf_dir):
+    """Taxonomy count rollup — composes the SHIPPED fixpoint
+    ``transitive_closure`` (operators/closure.py, doubling self-joins)
+    with the SHIPPED ``rollup_counts`` (operators/rollup.py: closure ∪
+    identity join + ONE combinable groupBy(ancestor) sum — the root
+    hub collapses map-side). Fixture: 13-node ternary tree
+    parent(i)=(i-1) div 3, per-node counts = documents per doc_id
+    residue. Oracle: recursive-CTE closure + the same sum."""
+    from kg_microbe_spark.operators.closure import transitive_closure
+    from kg_microbe_spark.operators.rollup import rollup_counts
+
+    d = _t(spark, sf_dir, "documents")
+    node = F.concat(F.lit("t"), (F.col("doc_id") % 13).cast("string"))
+    counts = d.groupBy(node.alias("node")).agg(F.count(F.lit(1)).alias("n"))
+    m = F.col("m")
+    edges = (
+        d.select((F.col("doc_id") % 13).cast("int").alias("m"))
+        .distinct()
+        .filter(m >= 1)
+        .select(
+            F.concat(F.lit("t"), m.cast("string")).alias("subject"),
+            F.lit("biolink:subclass_of").alias("predicate"),
+            F.concat(
+                F.lit("t"), F.expr("(m - 1) div 3").cast("string")
+            ).alias("object"),
+        )
+    )
+    closure = transitive_closure(edges, "biolink:subclass_of")
+    return rollup_counts(
+        counts, closure, node_col="node", count_col="n",
+        desc_col="subject", anc_col="object",
+    )
+
+
+_ROLLUP_SQL = """
+WITH counts AS (
+  SELECT 't' || CAST(doc_id % 13 AS VARCHAR) AS node, COUNT(*) AS n
+  FROM documents GROUP BY 1
+),
+ms AS (SELECT DISTINCT CAST(doc_id % 13 AS INT) AS m FROM documents),
+edges AS (
+  SELECT 't' || CAST(m AS VARCHAR) AS d,
+         't' || CAST((m - 1) // 3 AS VARCHAR) AS anc
+  FROM ms WHERE m >= 1
+),
+closure AS (
+  WITH RECURSIVE r AS (
+    SELECT d, anc FROM edges
+    UNION
+    SELECT r.d, e.anc FROM r JOIN edges e ON r.anc = e.d
+  ) SELECT d, anc FROM r
+),
+universe AS (
+  SELECT d AS node FROM closure
+  UNION SELECT anc FROM closure
+  UNION SELECT node FROM counts
+),
+up AS (
+  SELECT d, anc FROM closure
+  UNION ALL SELECT node, node FROM universe
+),
+rolled AS (
+  SELECT up.anc, CAST(SUM(c.n) AS BIGINT) AS n_rolled
+  FROM counts c JOIN up ON c.node = up.d GROUP BY up.anc
+)
+SELECT u.node,
+       COALESCE(c.n, 0) AS n_self,
+       COALESCE(r.n_rolled, 0) AS n_rolled
+FROM universe u
+LEFT JOIN counts c ON c.node = u.node
+LEFT JOIN rolled r ON r.anc = u.node
+"""
+
+
+def q_entity_salience(spark, sf_dir):
+    """Entity salience features — executes the SHIPPED
+    ``entity_salience`` (operators/salience.py: ONE combinable
+    groupBy(url, curie) with min-offset + count, title/lead flags as
+    post-agg projections — one shuffle total). Fixture plants, per
+    document, a twice-mentioned entity whose first offset sweeps
+    across the title boundary and a second entity sweeping the lead
+    boundary. Oracle: the same aggregate relationally."""
+    from kg_microbe_spark.operators.salience import entity_salience
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    e1 = F.concat(F.lit("e"), (F.col("doc_id") % 7).cast("string"))
+    e2 = F.concat(F.lit("e"), ((F.col("doc_id") + 3) % 7).cast("string"))
+    tl = F.lit(10).alias("title_len")
+    mentions = (
+        d.select(url, e1.alias("curie"), (F.col("doc_id") % 15).alias("start"), tl)
+        .unionByName(
+            d.select(url, e1.alias("curie"), (F.lit(300) + F.col("doc_id") % 50).alias("start"), tl)
+        )
+        .unionByName(
+            d.select(url, e2.alias("curie"), (F.lit(150) + F.col("doc_id") % 100).alias("start"), tl)
+        )
+    )
+    return entity_salience(mentions)
+
+
+_SALIENCE_SQL = """
+WITH men AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         'e' || CAST(doc_id % 7 AS VARCHAR) AS curie,
+         doc_id % 15 AS s, 10 AS tl FROM documents
+  UNION ALL
+  SELECT 'u' || CAST(doc_id AS VARCHAR),
+         'e' || CAST(doc_id % 7 AS VARCHAR),
+         300 + doc_id % 50, 10 FROM documents
+  UNION ALL
+  SELECT 'u' || CAST(doc_id AS VARCHAR),
+         'e' || CAST((doc_id + 3) % 7 AS VARCHAR),
+         150 + doc_id % 100, 10 FROM documents
+),
+agg AS (
+  SELECT url, curie, COUNT(*) AS n_mentions,
+         MIN(s) AS first_offset, MIN(tl) AS tl
+  FROM men GROUP BY url, curie
+)
+SELECT url, curie, n_mentions, first_offset,
+       CASE WHEN first_offset < tl THEN 1 ELSE 0 END AS in_title,
+       CASE WHEN first_offset < tl + 200 THEN 1 ELSE 0 END AS in_lead,
+       CAST(4 * (CASE WHEN first_offset < tl THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN first_offset < tl + 200 THEN 1 ELSE 0 END)
+            + LEAST(n_mentions, 10) AS BIGINT) AS salience
+FROM agg
+"""
+
+
+def q_abbreviation_pairs(spark, sf_dir):
+    """Schwartz-Hearst-lite abbreviation mining — executes the SHIPPED
+    ``abbreviation_pairs`` (operators/abbrev.py: zipped
+    regexp_extract_all capture groups + in-row initials validation +
+    ONE combinable distinct-doc aggregation; zero UDFs). Fixture
+    appends a VALID 'l1aa l2bb l3cc (L1L2L3)' definition plus an
+    initials-mismatching '(QQZ)' decoy per document (base text is
+    lowercase-only, so it can never form a candidate). Oracle:
+    constructive — the expected pairs derived arithmetically,
+    independent of any regex engine."""
+    from kg_microbe_spark.operators.abbrev import abbreviation_pairs
+
+    d = _t(spark, sf_dir, "documents")
+
+    def letter(off):
+        return F.substring(
+            F.lit("abcdefgh"), ((F.col("doc_id") + off) % 8 + 1).cast("int"), 1
+        )
+
+    l1, l2, l3 = letter(0), letter(3), letter(5)
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" the "), l1, F.lit("aa "), l2, F.lit("bb "), l3,
+            F.lit("cc ("), F.upper(F.concat(l1, l2, l3)), F.lit(")"),
+            F.lit(" tail bad word here (QQZ) end"),
+        ).alias("text"),
+    )
+    return abbreviation_pairs(fx, "doc_id", "text")
+
+
+_ABBREV_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         substr('abcdefgh', CAST(doc_id % 8 + 1 AS INT), 1) AS l1,
+         substr('abcdefgh', CAST((doc_id + 3) % 8 + 1 AS INT), 1) AS l2,
+         substr('abcdefgh', CAST((doc_id + 5) % 8 + 1 AS INT), 1) AS l3
+  FROM documents
+)
+SELECT upper(l1 || l2 || l3) AS short_form,
+       l1 || 'aa ' || l2 || 'bb ' || l3 || 'cc' AS long_form,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_relation_candidates(spark, sf_dir):
+    """Verb-mediated relation candidates — executes the SHIPPED
+    ``relation_candidates`` (operators/relations.py: per-doc capped
+    sorted mention arrays, IN-ROW pair generation + gap window +
+    between-text verb probe — the kg_triples discipline; one co-keyed
+    join + one combinable evidence agg). Fixture: per document the
+    sentence 'Ea consumes Eb and Eb produces Ec.' with exact offsets
+    derived from fixed-width entity names, so mentions are relational.
+    Oracle: constructive — (Ea consumes Eb) and (Eb produces Ec) per
+    doc; the Ea→Ec pair exceeds max_gap and every duplicate in-window
+    pair dedups per doc."""
+    from kg_microbe_spark.operators.relations import relation_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    a = F.concat(F.lit("E"), (F.col("doc_id") % 5).cast("string"))
+    b = F.concat(F.lit("E"), ((F.col("doc_id") + 1) % 5).cast("string"))
+    c = F.concat(F.lit("E"), ((F.col("doc_id") + 2) % 5).cast("string"))
+    pages = d.select(
+        url,
+        F.concat(
+            a, F.lit(" consumes "), b, F.lit(" and "), b,
+            F.lit(" produces "), c, F.lit("."),
+        ).alias("text"),
+    )
+    mentions = (
+        d.select(url, a.alias("curie"), F.lit(0).alias("start"), F.lit(2).alias("end"))
+        .unionByName(d.select(url, b.alias("curie"), F.lit(12).alias("start"), F.lit(14).alias("end")))
+        .unionByName(d.select(url, b.alias("curie"), F.lit(19).alias("start"), F.lit(21).alias("end")))
+        .unionByName(d.select(url, c.alias("curie"), F.lit(31).alias("start"), F.lit(33).alias("end")))
+    )
+    return relation_candidates(
+        mentions, pages, verbs=["consumes", "produces"], max_gap=20
+    )
+
+
+_RELATIONS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'E' || CAST(doc_id % 5 AS VARCHAR) AS a,
+         'E' || CAST((doc_id + 1) % 5 AS VARCHAR) AS b,
+         'E' || CAST((doc_id + 2) % 5 AS VARCHAR) AS c
+  FROM documents
+)
+SELECT subject, predicate, object, COUNT(*) AS n_docs FROM (
+  SELECT a AS subject, 'consumes' AS predicate, b AS object FROM d
+  UNION ALL
+  SELECT b, 'produces', c FROM d
+) GROUP BY subject, predicate, object
+"""
+
+
+def q_random_walks(spark, sf_dir):
+    """Seeded deterministic random walks — executes the SHIPPED
+    ``random_walks`` (operators/walks.py: per step ONE frontier⋈edges
+    join + ONE combinable min_by-md5 argmin — the A2 skew-absorbing
+    form, so hub out-neighborhoods collapse map-side). Fixture: 10
+    nodes, two arithmetic edge rules (self-loops dropped), 2 walks ×
+    length 3 from every node. Oracle: the same steps unrolled with
+    arg_min over the identical md5 key — md5 hex is engine-identical,
+    so the 'random' choices replay exactly."""
+    from kg_microbe_spark.operators.walks import random_walks
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 10).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    lbl = lambda col: F.concat(F.lit("n"), col.cast("string"))  # noqa: E731
+    edges = (
+        ms.select(lbl(m).alias("src"), lbl((m * 3 + 1) % 10).alias("dst"))
+        .unionByName(
+            ms.select(lbl(m).alias("src"), lbl((m * 7 + 2) % 10).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return random_walks(
+        edges, length=WALK_LENGTH, walks_per_node=2, seed=WALK_SEED
+    )
+
+
+WALK_LENGTH = 3
+WALK_SEED = "r5"
+
+
+def _walks_sql(length: int, seed: str) -> str:
+    parts = [
+        """WITH ms AS (SELECT DISTINCT CAST(doc_id % 10 AS INT) AS m FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || CAST(m AS VARCHAR) AS src,
+           'n' || CAST((m * 3 + 1) % 10 AS VARCHAR) AS dst FROM ms
+    UNION ALL
+    SELECT 'n' || CAST(m AS VARCHAR),
+           'n' || CAST((m * 7 + 2) % 10 AS VARCHAR) FROM ms
+  ) WHERE src <> dst
+),
+c0 AS (
+  SELECT start, walk, start AS cur FROM
+    (SELECT DISTINCT src AS start FROM e)
+    CROSS JOIN (VALUES (0), (1)) w(walk)
+)"""
+    ]
+    for t in range(1, length + 1):
+        p = t - 1
+        parts.append(
+            f"""c{t} AS (
+  SELECT c{p}.start, c{p}.walk,
+         arg_min(e.dst, md5(c{p}.start || '|' || CAST(c{p}.walk AS VARCHAR)
+                            || '|{t}|' || e.dst || '|{seed}')) AS cur
+  FROM c{p} JOIN e ON e.src = c{p}.cur
+  GROUP BY c{p}.start, c{p}.walk
+)"""
+        )
+    body = ",\n".join(parts)
+    selects = [
+        f"SELECT start, walk, {t} AS step, cur AS node FROM c{t}"
+        for t in range(0, length + 1)
+    ]
+    return body + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_lexicon_alignment(spark, sf_dir):
+    """Cross-lexicon xref suggestion — executes the SHIPPED
+    ``align_lexicons`` (operators/alignment.py: term-DF hub guard
+    BEFORE the inverted-index join, combinable shared-count agg,
+    broadcast marginals, integer-cross-multiplied Jaccard cut,
+    anti-join of known xrefs). Fixture: 30-term lexicon A vs 20-term
+    lexicon B sharing one 'sharedK' synonym per residue class plus a
+    'common' synonym on EVERY entry (df 30/20 > cap 10 → the guard
+    must drop it on both sides or every pair would match); known
+    xrefs remove the diagonal. Oracle: the guard + join + floor
+    replayed relationally."""
+    from kg_microbe_spark.operators.alignment import align_lexicons
+
+    d = _t(spark, sf_dir, "documents")
+    am = d.select((F.col("doc_id") % 30).cast("int").alias("m")).distinct()
+    bm = d.select((F.col("doc_id") % 20).cast("int").alias("m")).distinct()
+    m = F.col("m")
+    lex_a = am.select(
+        F.concat(F.lit("A:"), m.cast("string")).alias("curie"),
+        F.concat(F.lit("term"), m.cast("string")).alias("label"),
+        F.array(
+            F.concat(F.lit("shared"), (m % 10).cast("string")),
+            F.concat(F.lit("alpha"), m.cast("string")),
+            F.lit("common"),
+        ).alias("synonyms"),
+    )
+    lex_b = bm.select(
+        F.concat(F.lit("B:"), m.cast("string")).alias("curie"),
+        F.concat(F.lit("shared"), (m % 10).cast("string")).alias("label"),
+        F.array(
+            F.concat(F.lit("beta"), m.cast("string")), F.lit("common")
+        ).alias("synonyms"),
+    )
+    xrefs = bm.select(
+        F.concat(F.lit("A:"), m.cast("string")).alias("a_curie"),
+        F.concat(F.lit("B:"), m.cast("string")).alias("b_curie"),
+    )
+    return align_lexicons(
+        lex_a, lex_b, known_xrefs=xrefs, min_jaccard_pct=25, max_term_df=10
+    )
+
+
+_ALIGNMENT_SQL = """
+WITH am AS (SELECT DISTINCT CAST(doc_id % 30 AS INT) AS m FROM documents),
+bm AS (SELECT DISTINCT CAST(doc_id % 20 AS INT) AS m FROM documents),
+ta_raw AS (
+  SELECT DISTINCT 'A:' || CAST(m AS VARCHAR) AS curie, t AS term
+  FROM am, UNNEST(['term' || CAST(m AS VARCHAR),
+                   'shared' || CAST(m % 10 AS VARCHAR),
+                   'alpha' || CAST(m AS VARCHAR),
+                   'common']) AS u(t)
+),
+tb_raw AS (
+  SELECT DISTINCT 'B:' || CAST(m AS VARCHAR) AS curie, t AS term
+  FROM bm, UNNEST(['shared' || CAST(m % 10 AS VARCHAR),
+                   'beta' || CAST(m AS VARCHAR),
+                   'common']) AS u(t)
+),
+ta AS (
+  SELECT curie, term FROM ta_raw
+  WHERE term NOT IN (
+    SELECT term FROM ta_raw GROUP BY term HAVING COUNT(*) > 10)
+),
+tb AS (
+  SELECT curie, term FROM tb_raw
+  WHERE term NOT IN (
+    SELECT term FROM tb_raw GROUP BY term HAVING COUNT(*) > 10)
+),
+sh AS (
+  SELECT a.curie AS a_curie, b.curie AS b_curie, COUNT(*) AS n_shared
+  FROM ta a JOIN tb b USING (term) GROUP BY a.curie, b.curie
+),
+na AS (SELECT curie, COUNT(*) AS n_a FROM ta GROUP BY curie),
+nb AS (SELECT curie, COUNT(*) AS n_b FROM tb GROUP BY curie),
+scored AS (
+  SELECT s.a_curie, s.b_curie, s.n_shared, na.n_a, nb.n_b,
+         na.n_a + nb.n_b - s.n_shared AS un
+  FROM sh s
+  JOIN na ON na.curie = s.a_curie
+  JOIN nb ON nb.curie = s.b_curie
+  WHERE 100 * s.n_shared >= 25 * (na.n_a + nb.n_b - s.n_shared)
+)
+SELECT a_curie, b_curie, n_shared, n_a, n_b,
+       CAST(FLOOR(100 * n_shared / un) AS BIGINT) AS jaccard_pct
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM bm
+  WHERE 'A:' || CAST(bm.m AS VARCHAR) = s.a_curie
+    AND 'B:' || CAST(bm.m AS VARCHAR) = s.b_curie
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -6042,6 +6507,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nearest_neighbor": q_embedding_nearest_neighbor,
         "apply_threshold": q_apply_threshold,
         "safe_float": q_safe_float,
+        # r5 late additions (KG-construction family) — tail slots,
+        # queued for the r6 window rotation like kg_negatives above:
+        "kcore_prune": q_kcore_prune,
+        "taxonomy_rollup": q_taxonomy_rollup,
+        "entity_salience": q_entity_salience,
+        "abbreviation_pairs": q_abbreviation_pairs,
+        "relation_candidates": q_relation_candidates,
+        "random_walks": q_random_walks,
+        "lexicon_alignment": q_lexicon_alignment,
     }
 
 
@@ -6184,4 +6658,11 @@ e AS (
         "synonym_enrichment": _SYNONYM_ENRICHMENT_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "kcore_prune": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "taxonomy_rollup": _ROLLUP_SQL,
+        "entity_salience": _SALIENCE_SQL,
+        "abbreviation_pairs": _ABBREV_SQL,
+        "relation_candidates": _RELATIONS_SQL,
+        "random_walks": _walks_sql(WALK_LENGTH, WALK_SEED),
+        "lexicon_alignment": _ALIGNMENT_SQL,
     }

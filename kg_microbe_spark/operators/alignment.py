@@ -1,0 +1,112 @@
+"""Ontology / lexicon alignment: suggest cross-ontology xrefs from
+shared surface forms.
+
+KG-construction use: the reference merges 20+ sources whose curated
+xref tables are incomplete; entities the xref router
+(operators/lexicon.py xref routing) cannot connect stay duplicated in
+the merged KG. Candidate alignments between two lexicons — pairs whose
+normalized label+synonym sets overlap — are the standard lexical
+first pass of ontology matching, reviewed and then fed back as xref
+rows.
+
+100-TB shape (the set-similarity family, operators/setjoin.py's
+discipline applied across two ontologies):
+
+* each side flattens to (term_norm, curie) — explode + distinct,
+  map-side combinable;
+* TERM-DF HUB GUARD: terms appearing in more than ``max_term_df``
+  curies on either side are dropped BEFORE the join ("protein",
+  "acid" — the stopword-shaped terms that would otherwise create a
+  df² pair blowup). This bounds the inverted-index join fanout per
+  term, the same f² guard as pairwise_jaccard;
+* ONE equi-join on term_norm → ONE combinable
+  groupBy(a_curie, b_curie) shared-count;
+* marginals join on aggregated (per-curie set-size) frames only;
+* existing xrefs leave via ONE anti-join at the end.
+
+Jaccard threshold applied by integer cross-multiplication
+(100·shared ≥ pct·union) so the cut is exact; the reported score is
+rounded for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _term_sets(lexicon: DataFrame, max_term_df: int) -> DataFrame:
+    terms = (
+        lexicon.select(
+            "curie",
+            F.explode(
+                F.array_union(F.array(F.lower("label")), F.transform(
+                    F.coalesce("synonyms", F.array()), F.lower
+                ))
+            ).alias("term_norm"),
+        )
+        .filter(F.col("term_norm") != "")
+        .distinct()
+    )
+    df = terms.groupBy("term_norm").agg(F.count(F.lit(1)).alias("_df"))
+    return terms.join(
+        F.broadcast(df.filter(F.col("_df") > max_term_df).select("term_norm")),
+        on="term_norm",
+        how="left_anti",
+    )
+
+
+def align_lexicons(
+    lex_a: DataFrame,
+    lex_b: DataFrame,
+    known_xrefs: DataFrame | None = None,
+    min_jaccard_pct: int = 50,
+    max_term_df: int = 20,
+) -> DataFrame:
+    """lex_a/lex_b(curie, label, synonyms) → suggested alignments
+    (a_curie, b_curie, n_shared, n_a, n_b, jaccard_pct) with
+    100·shared ≥ min_jaccard_pct·|union|, minus pairs already present
+    in known_xrefs(a_curie, b_curie). Set sizes count the SURVIVING
+    (post hub-guard) terms on each side so the ratio is internally
+    consistent."""
+    ta = _term_sets(lex_a, max_term_df).withColumnRenamed("curie", "a_curie")
+    tb = _term_sets(lex_b, max_term_df).withColumnRenamed("curie", "b_curie")
+    shared = (
+        ta.join(tb, on="term_norm")
+        .groupBy("a_curie", "b_curie")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = ta.groupBy("a_curie").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = tb.groupBy("b_curie").agg(F.count(F.lit(1)).alias("n_b"))
+    scored = (
+        shared.join(F.broadcast(na), on="a_curie")
+        .join(F.broadcast(nb), on="b_curie")
+        .withColumn(
+            "_union", F.col("n_a") + F.col("n_b") - F.col("n_shared")
+        )
+        .filter(
+            F.lit(100) * F.col("n_shared")
+            >= F.lit(min_jaccard_pct) * F.col("_union")
+        )
+        .select(
+            "a_curie",
+            "b_curie",
+            "n_shared",
+            "n_a",
+            "n_b",
+            # floor, not cast: Spark's double→long cast truncates while
+            # DuckDB's rounds — FLOOR agrees on both engines, and the
+            # k·d/d boundary case divides exactly in IEEE so the floor
+            # is stable
+            F.floor(
+                (F.lit(100) * F.col("n_shared")) / F.col("_union")
+            ).alias("jaccard_pct"),
+        )
+    )
+    if known_xrefs is not None:
+        scored = scored.join(
+            known_xrefs.select("a_curie", "b_curie"),
+            on=["a_curie", "b_curie"],
+            how="left_anti",
+        )
+    return scored
