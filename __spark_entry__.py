@@ -6268,6 +6268,106 @@ WHERE NOT EXISTS (
 """
 
 
+def q_truth_discovery(spark, sf_dir):
+    """Reliability-weighted truth discovery — executes the SHIPPED
+    ``weighted_consensus`` (operators/reliability.py: majority vote →
+    per-source agreement pct → reliability-weighted re-vote; every agg
+    combinable, min_by argmax ties to the smaller value, the
+    source-reliability dim broadcast for the re-vote). Fixture: 8
+    sources × 10 claims × 3 values from doc_id residue arithmetic —
+    sources disagree wherever the mod-8/10/3 lattices cross. Oracle:
+    the same round replayed with window argmaxes."""
+    from kg_microbe_spark.operators.reliability import weighted_consensus
+
+    d = _t(spark, sf_dir, "documents")
+    claims = d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("source"),
+        F.concat(F.lit("k"), (F.col("doc_id") % 10).cast("string")).alias("claim"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 3).cast("string")).alias("value"),
+    )
+    return weighted_consensus(claims)
+
+
+_TRUTH_SQL = """
+WITH c AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 8 AS VARCHAR) AS source,
+                  'k' || CAST(doc_id % 10 AS VARCHAR) AS claim,
+                  'v' || CAST(doc_id % 3 AS VARCHAR) AS value
+  FROM documents
+),
+vc AS (SELECT claim, value, COUNT(*) AS cc FROM c GROUP BY claim, value),
+maj AS (
+  SELECT claim, value FROM (
+    SELECT claim, value,
+           ROW_NUMBER() OVER (PARTITION BY claim
+                              ORDER BY cc DESC, value ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+rel AS (
+  SELECT c.source, COUNT(*) AS n,
+         SUM(CASE WHEN c.value = m.value THEN 1 ELSE 0 END) AS a
+  FROM c JOIN maj m ON m.claim = c.claim
+  GROUP BY c.source
+),
+relp AS (SELECT source, CAST(FLOOR(100 * a / n) AS BIGINT) AS p FROM rel),
+votes AS (
+  SELECT c.claim, c.value, CAST(SUM(r.p) AS BIGINT) AS weight
+  FROM c JOIN relp r ON r.source = c.source
+  GROUP BY c.claim, c.value
+)
+SELECT claim, value, weight FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY claim
+                               ORDER BY weight DESC, value ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def q_bpe_candidates(spark, sf_dir):
+    """BPE merge-candidate statistics — executes the SHIPPED
+    ``bpe_pair_candidates`` (operators/bpe.py: ONE corpus-sized
+    combinable word-count shuffle, then IN-ROW adjacent-pair
+    generation over the vocabulary and a pair-vocab-sized top-k with
+    INTEGER rank keys). Runs on the real documents text — no fixture.
+    Oracle: unnest + generate_subscripts positional zip (round-5
+    recipe) self-joined at i+1."""
+    from kg_microbe_spark.operators.bpe import bpe_pair_candidates
+
+    return bpe_pair_candidates(
+        _t(spark, sf_dir, "documents"), "text", top_k=20
+    )
+
+
+_BPE_SQL = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS cnt FROM w
+  WHERE word <> '' AND length(word) >= 2 GROUP BY word
+),
+cs AS (SELECT word, cnt, regexp_extract_all(word, '.') AS ch FROM wc),
+chp AS (
+  SELECT word, cnt, unnest(ch) AS c, generate_subscripts(ch, 1) AS i
+  FROM cs
+),
+pr AS (
+  SELECT a.cnt, a.c AS l, b.c AS r
+  FROM chp a JOIN chp b ON a.word = b.word AND b.i = a.i + 1
+),
+pc AS (
+  SELECT l AS "left", r AS "right", CAST(SUM(cnt) AS BIGINT) AS n
+  FROM pr GROUP BY l, r
+)
+SELECT rank, "left", "right", n FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, "left" ASC, "right" ASC) AS rank,
+         "left", "right", n
+  FROM pc
+) WHERE rank <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -6516,6 +6616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_candidates": q_relation_candidates,
         "random_walks": q_random_walks,
         "lexicon_alignment": q_lexicon_alignment,
+        "truth_discovery": q_truth_discovery,
+        "bpe_candidates": q_bpe_candidates,
     }
 
 
@@ -6665,4 +6767,6 @@ e AS (
         "relation_candidates": _RELATIONS_SQL,
         "random_walks": _walks_sql(WALK_LENGTH, WALK_SEED),
         "lexicon_alignment": _ALIGNMENT_SQL,
+        "truth_discovery": _TRUTH_SQL,
+        "bpe_candidates": _BPE_SQL,
     }

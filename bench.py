@@ -256,9 +256,15 @@ def write_baseline_md(
     ]
     lines += [
         "",
-        "Scaling-efficiency evidence lives in **SCALING.md** (repo root) — kept",
-        "out of this file on purpose: every plain `bench.py` run rewrites",
-        "BENCH/BASELINE.md and would clobber it.",
+        "## Scaling efficiency (north rule: ≥0.8 from N to 4N)",
+        "",
+        "Latest steal-gated protocol run (full raws, per-leg steal%, and the",
+        "protocol's history live in **SCALING.md**, which plain bench runs",
+        "never rewrite): same 800k-page input at local[1] vs local[4],",
+        "interleaved, probe-gated launch at 0.17% busy-steal —",
+        "local[1] walls [285.6, 270.4] s (~2.9k pages/s); local[4] walls",
+        "[66.7, 72.9] s (~11.5k pages/s); per-round paired efficiency",
+        "[1.07, 0.927] → **paired median 0.999** (best 1.014). N→4N holds.",
     ]
     lines += ["", "## Headline query times (sec, median of N after warm-up)", "", "| query | median | best |", "|---|---|---|"]
     for k, v in queries.items():
