@@ -6275,8 +6275,11 @@ def q_truth_discovery(spark, sf_dir):
     combinable, min_by argmax ties to the smaller value, the
     source-reliability dim broadcast for the re-vote). Fixture: 8
     sources × 10 claims × 3 values from doc_id residue arithmetic —
-    sources disagree wherever the mod-8/10/3 lattices cross. Oracle:
-    the same round replayed with window argmaxes."""
+    sources disagree wherever the mod-8/10/3 lattices cross, plus one
+    singleton source asserting a solo claim — the min_claims floor
+    excludes it from voting, so its claim surfaces at weight 0 (the
+    review-queue path). Oracle: the same round replayed with window
+    argmaxes."""
     from kg_microbe_spark.operators.reliability import weighted_consensus
 
     d = _t(spark, sf_dir, "documents")
@@ -6284,16 +6287,26 @@ def q_truth_discovery(spark, sf_dir):
         F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("source"),
         F.concat(F.lit("k"), (F.col("doc_id") % 10).cast("string")).alias("claim"),
         F.concat(F.lit("v"), (F.col("doc_id") % 3).cast("string")).alias("value"),
+    ).unionByName(
+        d.filter(F.col("doc_id") == 0).select(
+            F.lit("s_once").alias("source"),
+            F.lit("k_solo").alias("claim"),
+            F.lit("v9").alias("value"),
+        )
     )
-    return weighted_consensus(claims)
+    return weighted_consensus(claims, min_claims=2)
 
 
 _TRUTH_SQL = """
 WITH c AS (
-  SELECT DISTINCT 's' || CAST(doc_id % 8 AS VARCHAR) AS source,
-                  'k' || CAST(doc_id % 10 AS VARCHAR) AS claim,
-                  'v' || CAST(doc_id % 3 AS VARCHAR) AS value
-  FROM documents
+  SELECT DISTINCT source, claim, value FROM (
+    SELECT 's' || CAST(doc_id % 8 AS VARCHAR) AS source,
+           'k' || CAST(doc_id % 10 AS VARCHAR) AS claim,
+           'v' || CAST(doc_id % 3 AS VARCHAR) AS value
+    FROM documents
+    UNION ALL
+    SELECT 's_once', 'k_solo', 'v9' FROM documents WHERE doc_id = 0
+  )
 ),
 vc AS (SELECT claim, value, COUNT(*) AS cc FROM c GROUP BY claim, value),
 maj AS (
@@ -6310,10 +6323,11 @@ rel AS (
   FROM c JOIN maj m ON m.claim = c.claim
   GROUP BY c.source
 ),
-relp AS (SELECT source, CAST(FLOOR(100 * a / n) AS BIGINT) AS p FROM rel),
+relp AS (SELECT source, CAST(FLOOR(100 * a / n) AS BIGINT) AS p
+         FROM rel WHERE n >= 2),
 votes AS (
-  SELECT c.claim, c.value, CAST(SUM(r.p) AS BIGINT) AS weight
-  FROM c JOIN relp r ON r.source = c.source
+  SELECT c.claim, c.value, CAST(SUM(COALESCE(r.p, 0)) AS BIGINT) AS weight
+  FROM c LEFT JOIN relp r ON r.source = c.source
   GROUP BY c.claim, c.value
 )
 SELECT claim, value, weight FROM (
@@ -6365,6 +6379,90 @@ SELECT rank, "left", "right", n FROM (
          "left", "right", n
   FROM pc
 ) WHERE rank <= 20
+"""
+
+
+def q_transe_energy(spark, sf_dir):
+    """TransE link-prediction energy — executes the SHIPPED
+    ``transe_energy`` (operators/kge.py: two entity-embedding shuffle
+    joins + broadcast relation dim + IN-ROW deterministic left fold in
+    double). Entities = the real embeddings table; relations = the
+    first three entity vectors scaled 0.1 (selective vec_id filter →
+    the broadcast subtree is plan-guard-visible as bounded); triples
+    from vec_id arithmetic. Oracle: the identical left fold via
+    list_reduce over the same cast chain — bit-identical doubles."""
+    from kg_microbe_spark.operators.kge import transe_energy
+
+    e = _t(spark, sf_dir, "embeddings")
+    ent = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    rel = e.filter(F.col("vec_id") <= 2).select(
+        (F.col("vec_id") % 3).alias("id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(0.1)
+        ).alias("vec"),
+    )
+    triples = e.select(
+        F.col("vec_id").alias("h"),
+        (F.col("vec_id") % 3).alias("r"),
+        ((F.col("vec_id") * 7 + 1) % 500).alias("t"),
+    )
+    return transe_energy(triples, ent, rel, dim=64)
+
+
+_TRANSE_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+rel AS (
+  SELECT vec_id % 3 AS rid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1e-1) AS rv
+  FROM e WHERE vec_id <= 2
+),
+tr AS (
+  SELECT vec_id AS h, vec_id % 3 AS r, (vec_id * 7 + 1) % 500 AS t FROM e
+),
+j AS (
+  SELECT tr.h, tr.r, tr.t, he.embedding AS hv, te.embedding AS tv, rel.rv
+  FROM tr
+  JOIN e he ON he.vec_id = tr.h
+  JOIN e te ON te.vec_id = tr.t
+  JOIN rel ON rel.rid = tr.r
+)
+SELECT h, r, t,
+       list_reduce(
+         list_transform(generate_series(1, 64),
+           i -> abs(CAST(hv[i] AS DOUBLE) + rv[i] - CAST(tv[i] AS DOUBLE))),
+         (a, b) -> a + b) AS energy
+FROM j
+"""
+
+
+def q_alias_resolution(spark, sf_dir):
+    """Redirect/alias chain resolution — executes the SHIPPED
+    ``resolve_aliases`` (operators/aliases.py: pointer DOUBLING on the
+    functional redirect graph — depth 2^k in k rounds with
+    linear-size state, vs closure's quadratic frontier). Fixture:
+    four 16-deep chains (p_i → p_{i-1} unless i ≡ 0 mod 16), rounds=4
+    — depth 15 resolves exactly at the 2^4 bound. Oracle:
+    constructive — the terminal is arithmetically (i div 16)·16."""
+    from kg_microbe_spark.operators.aliases import resolve_aliases
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 64).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    redirects = ms.filter(m % 16 != 0).select(
+        F.concat(F.lit("p"), m.cast("string")).alias("src"),
+        F.concat(F.lit("p"), (m - 1).cast("string")).alias("dst"),
+    )
+    return resolve_aliases(redirects, rounds=4)
+
+
+_ALIASES_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 64 AS INT) AS m FROM documents)
+SELECT 'p' || CAST(m AS VARCHAR) AS alias,
+       'p' || CAST((m // 16) * 16 AS VARCHAR) AS canonical
+FROM ms WHERE m % 16 <> 0
 """
 
 
@@ -6618,6 +6716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_alignment": q_lexicon_alignment,
         "truth_discovery": q_truth_discovery,
         "bpe_candidates": q_bpe_candidates,
+        "transe_energy": q_transe_energy,
+        "alias_resolution": q_alias_resolution,
     }
 
 
@@ -6769,4 +6869,6 @@ e AS (
         "lexicon_alignment": _ALIGNMENT_SQL,
         "truth_discovery": _TRUTH_SQL,
         "bpe_candidates": _BPE_SQL,
+        "transe_energy": _TRANSE_SQL,
+        "alias_resolution": _ALIASES_SQL,
     }

@@ -75,19 +75,34 @@ def source_reliability(claims: DataFrame) -> DataFrame:
     )
 
 
-def weighted_consensus(claims: DataFrame) -> DataFrame:
+def weighted_consensus(claims: DataFrame, min_claims: int = 2) -> DataFrame:
     """claims(source, claim, value) → (claim, value, weight): the
     reliability-weighted winning value per claim, weight = sum of the
     supporting sources' reliability_pct. Ties break to the smaller
-    value."""
+    value.
+
+    Sources with fewer than ``min_claims`` claims carry weight 0 in the
+    re-vote (their claims still surface — a claim asserted ONLY by
+    floor-excluded sources wins at weight 0, flagging it for review).
+    The floor is the standard truth-discovery denoising rule — a
+    singleton source's agreement pct is 0 or 100 by construction, pure
+    noise — and doubles as the in-plan bound that makes broadcasting
+    the reliability dim defensible (the n_claims ≥ k filter is the
+    unigram-vocabulary min_count gate of operators/lm_quality.py
+    applied to sources: Zipf leaves far fewer multi-claim sources than
+    claims)."""
     c = claims.select("source", "claim", "value").distinct()
     rel = F.broadcast(
-        source_reliability(claims).select("source", "reliability_pct")
+        source_reliability(claims)
+        .filter(F.col("n_claims") >= min_claims)
+        .select("source", "reliability_pct")
     )
     votes = (
-        c.join(rel, on="source")
+        c.join(rel, on="source", how="left")
         .groupBy("claim", "value")
-        .agg(F.sum("reliability_pct").alias("weight"))
+        .agg(
+            F.sum(F.coalesce("reliability_pct", F.lit(0))).alias("weight")
+        )
     )
     return votes.groupBy("claim").agg(
         F.min_by(

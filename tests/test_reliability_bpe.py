@@ -48,10 +48,26 @@ def test_consensus_tie_smaller_value(spark):
         [("a", "c", "x"), ("b", "c", "y")],
         "source string, claim string, value string",
     )
-    # both sources: 1 claim, agree with majority? majorities: tie x/y →
-    # smaller 'x'; a agrees (100), b not (0) → weights x=100, y=0
-    row = weighted_consensus(claims).collect()[0]
+    # min_claims=1: majorities tie x/y → smaller 'x'; a agrees (100),
+    # b not (0) → weights x=100, y=0
+    row = weighted_consensus(claims, min_claims=1).collect()[0]
     assert (row.value, row.weight) == ("x", 100)
+
+
+def test_consensus_min_claims_floor(spark):
+    claims = spark.createDataFrame(
+        # s1/s2 assert 2 claims each; s_once asserts only k_solo
+        [("s1", "k1", "a"), ("s1", "k2", "a"),
+         ("s2", "k1", "a"), ("s2", "k2", "b"),
+         ("s_once", "k_solo", "z")],
+        "source string, claim string, value string",
+    )
+    out = {r.claim: (r.value, r.weight) for r in weighted_consensus(claims).collect()}
+    # floor-excluded singleton still surfaces, at weight 0
+    assert out["k_solo"] == ("z", 0)
+    # s1 agrees with majority on both (100), s2 on k1 only (50)
+    assert out["k1"] == ("a", 150)
+    assert out["k2"] == ("a", 100)
 
 
 def test_bpe_pair_counts_weighted_by_word_freq(spark):
