@@ -358,3 +358,79 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_containment_pct: int = 80,
+    max_fingerprint_frequency: Optional[int] = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: document B is (mostly) contained inside
+    document A — quotation pages, scraped mirrors with added chrome,
+    chunk-of-a-larger-page rows. Symmetric Jaccard misses these (a
+    short doc inside a long one has tiny union-overlap); containment
+
+        cont(B ⊆ A) = |FP(A) ∩ FP(B)| / |FP(B)|
+
+    over the same winnowing span fingerprints as
+    ``fingerprint_overlap_pairs`` catches them (Broder's containment
+    coefficient). Emits ORDERED pairs (container, contained) with
+    integer shared/total counts; the threshold applies by integer
+    cross-multiplication (100·shared ≥ pct·|FP(contained)|) so the cut
+    is exact, and the pct itself is FLOOR'd (cross-engine: Spark's
+    double→long cast truncates, DuckDB's rounds).
+
+    Scale shape: identical to fingerprint_overlap_pairs — fingerprint
+    equi-join (shuffle ∝ repeated spans, never n²), the same
+    ``max_fingerprint_frequency`` stop-span hub guard, plus one
+    marginal join against the per-doc fingerprint counts (a doc-count
+    sized aggregate). Self-pairs and both orders are emitted by
+    construction of the filter (container ≠ contained only)."""
+    from kg_microbe_spark.functions.text import rolling_fingerprints_col
+
+    fps = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                rolling_fingerprints_col(F.col(text_col), window)
+            )
+        ).alias("fp"),
+    )
+    if max_fingerprint_frequency is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_fingerprint_frequency)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    totals = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_total"))
+    a = fps.select(F.col("doc").alias("container"), "fp")
+    b = fps.select(F.col("doc").alias("contained"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("container") != F.col("contained"))
+        .groupBy("container", "contained")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            totals.withColumnRenamed("doc", "contained"), on="contained"
+        )
+        .filter(
+            F.lit(100) * F.col("n_shared")
+            >= F.lit(min_containment_pct) * F.col("n_total")
+        )
+        .select(
+            "container",
+            "contained",
+            "n_shared",
+            "n_total",
+            F.floor(
+                (F.lit(100) * F.col("n_shared")) / F.col("n_total")
+            ).alias("containment_pct"),
+        )
+    )
