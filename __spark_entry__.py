@@ -6580,6 +6580,54 @@ WHERE 100 * s.n_shared >= 80 * t.n_total
 """
 
 
+def q_typo_variant_pairs(spark, sf_dir):
+    """Blocked edit-distance typo-variant pairs — executes the SHIPPED
+    ``blocked_edit_distance_pairs`` (operators/editjoin.py: prefix
+    blocking + max-block guard BEFORE the quadratic-in-block join,
+    length prefilter before the Levenshtein DP, canonical a<b output).
+    Fixture: 'term{m}x' names with 'term{m}y' typo twins every third m
+    — plus whatever cross-m single-edit neighbors the family contains,
+    which the oracle's independent levenshtein reproduces exactly."""
+    from kg_microbe_spark.operators.editjoin import blocked_edit_distance_pairs
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 30).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    names = ms.select(
+        F.concat(F.lit("ax"), m.cast("string")).alias("id"),
+        F.concat(F.lit("term"), m.cast("string"), F.lit("x")).alias("name"),
+    ).unionByName(
+        ms.filter(m % 3 == 0).select(
+            F.concat(F.lit("ay"), m.cast("string")).alias("id"),
+            F.concat(F.lit("term"), m.cast("string"), F.lit("y")).alias("name"),
+        )
+    )
+    return blocked_edit_distance_pairs(
+        names, "id", "name", max_distance=1, prefix_len=2
+    )
+
+
+_EDITJOIN_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 30 AS INT) AS m FROM documents),
+n AS (
+  SELECT 'ax' || CAST(m AS VARCHAR) AS id,
+         'term' || CAST(m AS VARCHAR) || 'x' AS name FROM ms
+  UNION ALL
+  SELECT 'ay' || CAST(m AS VARCHAR),
+         'term' || CAST(m AS VARCHAR) || 'y' FROM ms WHERE m % 3 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS distance
+FROM n a JOIN n b
+  ON a.id < b.id AND substr(a.name, 1, 2) = substr(b.name, 1, 2)
+WHERE abs(length(a.name) - length(b.name)) <= 1
+  AND levenshtein(a.name, b.name) <= 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -6834,6 +6882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_resolution": q_alias_resolution,
         "incremental_closure": q_incremental_closure,
         "containment_pairs": q_containment_pairs,
+        "typo_variant_pairs": q_typo_variant_pairs,
     }
 
 
@@ -6989,4 +7038,5 @@ e AS (
         "alias_resolution": _ALIASES_SQL,
         "incremental_closure": _INCR_CLOSURE_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
+        "typo_variant_pairs": _EDITJOIN_SQL,
     }
