@@ -122,3 +122,109 @@ def apply_threshold(edges: DataFrame, cutoffs: DataFrame, tau: float, resource_c
         .otherwise(F.lit(None).cast("double"))
     )
     return e.filter(keep).withColumn("star", star).drop("cutoff_bin")
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_bins: int = 32,
+    score_min: float = 0.0,
+    score_max: float = 4.01,
+) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of a binary label
+    against a link-confidence score, over fixed-width bins.
+
+    The reference's calibration maps scores to stars through a
+    per-resource empirical CDF (transform_utils/prego/calibration.py);
+    when labeled links exist (curation verdicts, held-out gold edges)
+    the natural refinement is an isotonic fit: the maximum-likelihood
+    monotone mapping score → P(correct). Same determinism posture as
+    ``build_cutoffs``: fixed-width bins, no percentile sketches.
+
+    Spark shape: the only corpus-sized work is one groupBy(bin) with
+    count/sum — map-combinable. PAV itself runs on the bin frame, whose
+    size is ``num_bins`` REGARDLESS of corpus size, via the minimax
+    identity (Robertson-Wright-Dykstra 1988, eq. 1.9-1.13)
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(label | bin in [j..k])
+
+    rendered as one (i, j, k) bounded self-join (≤ num_bins³ tuples —
+    constant work at any corpus scale) over window prefix sums; no
+    driver-side loop, no UDF. Output is one row per OBSERVED bin:
+    (bin, bin_lo, n, pos, rate, calibrated), calibrated monotone
+    non-decreasing in bin, rounded to 6 dp for cross-engine hashing.
+    """
+    width = (score_max - score_min) / num_bins
+    c = F.col(score_col).cast("double")
+    safe = F.when(
+        c.isNull() | F.isnan(c) | (c < score_min), F.lit(score_min)
+    ).otherwise(c)
+    b = F.least(
+        F.floor((safe - F.lit(score_min)) / F.lit(width)).cast("long"),
+        F.lit(num_bins - 1),
+    )
+    bins = (
+        scored.select(
+            b.alias("bin"), F.col(label_col).cast("long").alias("_y")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("_cw"),
+        F.sum("pos").over(w_cum).alias("_cy"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cw") - F.col("n")).alias("_w_before"),
+        (F.col("_cy") - F.col("pos")).alias("_y_before"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("_k"),
+        F.col("_cw").alias("_w_upto"),
+        F.col("_cy").alias("_y_upto"),
+    )
+    # all (j <= k) segment means from prefix sums — bounded bins² frame.
+    # The non-equi joins below carry explicit broadcast hints: both sides
+    # are keyed aggregates whose key domain is CLAMPED to num_bins rows,
+    # so the broadcast is constant-sized at any corpus scale (the plan
+    # guard's keyless-agg rule generalized; entries feed a filtered scan).
+    seg = lo.join(F.broadcast(hi), F.col("_j") <= F.col("_k")).select(
+        "_j",
+        "_k",
+        (
+            (F.col("_y_upto") - F.col("_y_before"))
+            / (F.col("_w_upto") - F.col("_w_before"))
+        ).alias("_avg"),
+    )
+    iso = (
+        pref.select(F.col("bin").alias("_i"))
+        .join(
+            F.broadcast(seg),
+            (F.col("_j") <= F.col("_i")) & (F.col("_k") >= F.col("_i")),
+        )
+        .groupBy("_i", "_j")
+        .agg(F.min("_avg").alias("_inner"))
+        .groupBy("_i")
+        .agg(F.round(F.max("_inner"), 6).alias("calibrated"))
+    )
+    return (
+        bins.join(iso, bins["bin"] == iso["_i"])
+        .select(
+            "bin",
+            F.round(F.lit(score_min) + F.col("bin") * F.lit(width), 6).alias(
+                "bin_lo"
+            ),
+            "n",
+            "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("rate"),
+            "calibrated",
+        )
+    )

@@ -434,3 +434,94 @@ def containment_pairs(
             ).alias("containment_pct"),
         )
     )
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find the token spans
+    that repeat ACROSS documents — boilerplate paragraphs, license
+    blocks, syndicated ledes — and report them as merged per-document
+    cut lists. Whole-doc dedup (A1/minhash) misses these: two documents
+    sharing one 200-token boilerplate footer are nowhere near any
+    doc-level threshold, yet the footer still memorizes.
+
+    The paper builds a corpus suffix array; the Spark-native rendering
+    keys on fixed-length token shingles instead (a span repeats iff all
+    its length-n shingles repeat, so n-shingle hits are a COMPLETE cover
+    of repeats of length ≥ n):
+
+    1. posexplode n-token shingles with their token offset — narrow;
+    2. groupBy(shingle md5) → count DISTINCT docs — map-combinable, the
+       only corpus-wide shuffle, key space bounded by total tokens;
+    3. semi-join occurrences against shingles seen in ≥ ``min_docs``
+       docs — shuffle ∝ repeated text, not corpus;
+    4. per-doc gaps-and-islands window merges overlapping/adjacent hits
+       into maximal spans — partitioned by doc, no global sort.
+
+    Returns (``id_col``, span_start, span_end, span_tokens) with
+    token-index spans, end inclusive, covering the last token of the
+    final shingle of each island.
+    """
+    from kg_microbe_spark.functions.text import tokens_col
+
+    n = shingle_tokens
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    sh = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("_toks") - F.lit(n) + F.lit(1)
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i, n), " ")
+                ),
+            )
+        ).alias("start", "shingle"),
+    )
+    repeated = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("shingle")
+    )
+    hits = sh.join(repeated, "shingle", "left_semi").select(
+        id_col,
+        F.col("start"),
+        (F.col("start") + F.lit(n - 1)).alias("end"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("start")
+    prev_max = F.max("end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                prev_max.isNull() | (F.col("start") > prev_max + 1), 1
+            ).otherwise(0)
+        ).over(w_ord),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

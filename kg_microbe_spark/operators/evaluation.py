@@ -1,0 +1,127 @@
+"""Triple-set evaluation — the north rule's P/R metric as an operator.
+
+The acceptance criterion for the whole pipeline is triple-set precision/
+recall ≥ 0.95 against the reference's emitted (subject, predicate,
+object) triples (reference: kg_microbe's merged-KG edges, e.g.
+merge_utils/duplicate_edges_removal.py treats the SPO identity as the
+dedup key). Rather than leaving that comparison to an ad-hoc test
+script, it ships as a first-class operator so any run can score itself
+against a gold table inside the same job — at 100 TB you cannot collect
+either side to a driver and diff them in Python.
+
+Shape: both sides are reduced to DISTINCT SPO keys (set semantics — the
+metric is over the triple *set*, so multiplicity must not double-count),
+then one inner join computes the intersection size. The join is a
+shuffle on the SPO key; both inputs were just shuffled by the same key
+for the distinct, so AQE reuses the exchange. Counts come back as one
+row; no fact-sized data ever crosses to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPO = ("subject", "predicate", "object")
+
+
+def triple_prf(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """One-row (n_pred, n_gold, n_hit, precision, recall, f1) comparing
+    the DISTINCT (subject, predicate, object) sets of the two frames.
+
+    Ratios are exact decimals of bigint counts rounded to 6 dp so the
+    value-hash is stable across engines; empty sides yield 0.0 (not
+    null/NaN) so the row is always well-formed.
+    """
+    p = predicted.select(*SPO).distinct()
+    g = gold.select(*SPO).distinct()
+    hit = p.join(g, list(SPO), "inner")
+    # keyless 1-row aggregates; broadcast hints keep the combination a
+    # BroadcastNestedLoopJoin of single rows, never a CartesianProduct
+    counts = (
+        p.agg(F.count("*").alias("n_pred"))
+        .crossJoin(F.broadcast(g.agg(F.count("*").alias("n_gold"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+    )
+
+    def _ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    return counts.select(
+        "n_pred",
+        "n_gold",
+        "n_hit",
+        _ratio(F.col("n_hit"), F.col("n_pred")).alias("precision"),
+        _ratio(F.col("n_hit"), F.col("n_gold")).alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0) & (F.col("n_gold") > 0) & (F.col("n_hit") > 0),
+            F.round(
+                2.0 * F.col("n_hit") / (F.col("n_pred") + F.col("n_gold")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def ranking_metrics(
+    candidates: DataFrame, gold: DataFrame, ks: tuple[int, ...] = (1, 3, 10)
+) -> DataFrame:
+    """Link-prediction ranking metrics — MRR and hits@k of the gold
+    answer among each query's scored candidates (the standard KGE /
+    entity-linking evaluation protocol, the ranking complement to
+    :func:`triple_prf`'s set metric).
+
+    ``candidates``: (query_id, candidate_id, score); ``gold``:
+    (query_id, gold_id). The rank is over the DETERMINISTIC total
+    order (score desc, candidate_id asc) — tie scores cannot flip the
+    metric between engines or partitionings. Queries whose gold never
+    appears among the candidates count in ``n_queries`` but not in
+    ``n_ranked``; ratios are over ``n_ranked`` (the fail-open posture:
+    a missing gold is a coverage problem surfaced by the count gap,
+    not a silently-zero reciprocal rank).
+
+    Spark shape: one keyed window per query partition (row_number —
+    per-query candidate lists are bounded by construction), one filter
+    to the gold row, keyless 1-row aggregates combined by broadcast
+    NLJ. Reciprocal ranks are integerized as floor(1e9/rank) BIGINTs
+    so the MRR sum is addition-order-independent.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = candidates.withColumn(
+        "_rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("candidate_id")
+            )
+        ),
+    )
+    gold_ranks = ranked.join(
+        gold,
+        (ranked["query_id"] == gold["query_id"])
+        & (ranked["candidate_id"] == gold["gold_id"]),
+    ).select(ranked["query_id"], F.col("_rank"))
+    agg_exprs = [
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum(F.floor(F.lit(1000000000.0) / F.col("_rank")).cast("long")).alias(
+            "_rr_sum"
+        ),
+    ] + [
+        F.sum(F.when(F.col("_rank") <= k, 1).otherwise(0)).alias(f"_h{k}")
+        for k in ks
+    ]
+    counts = gold.agg(F.count(F.lit(1)).alias("n_queries")).crossJoin(
+        F.broadcast(gold_ranks.agg(*agg_exprs))
+    )
+    hit_cols = [
+        F.round(F.col(f"_h{k}") / F.col("n_ranked"), 6).alias(f"hits_{k}")
+        for k in ks
+    ]
+    return counts.select(
+        "n_queries",
+        "n_ranked",
+        F.round(F.col("_rr_sum") / F.col("n_ranked") / 1e9, 6).alias("mrr"),
+        *hit_cols,
+    )

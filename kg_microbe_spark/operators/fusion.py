@@ -61,3 +61,52 @@ def fuse_triple_confidence(
         ).alias("sources"),
     )
     return fused
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    multiple rankers' result lists: fused(q, d) = Σ_rankers
+    1/(k + rank) — the standard zero-training way to combine the ANN,
+    BM25-ish lexical, and link-prior retrievers this engine ships into
+    one candidate list.
+
+    ``rankings``: (ranker, query_id, doc_id, rank) with rank ≥ 1.
+    Returns the top ``top_n`` docs per query: (query_id, doc_id,
+    n_rankers, rrf_x1e9, rrf, fused_rank).
+
+    Spark shape: ONE map-combinable groupBy(query, doc) — a doc ranked
+    by every ranker collapses in map-side partials — then a keyed
+    top-n window over the fused frame (bounded per query by
+    |rankers|·list length). Contributions are integerized BIGINT
+    floor(1e9/(k+rank)) so the fused sum is addition-order-independent;
+    the final order ties deterministically to the smaller doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    fused = rankings.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        F.sum(
+            F.floor(F.lit(1000000000.0) / (F.lit(k) + F.col("rank"))).cast(
+                "long"
+            )
+        ).alias("rrf_x1e9"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e9").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_n)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_rankers",
+            "rrf_x1e9",
+            F.round(F.col("rrf_x1e9") / 1e9, 6).alias("rrf"),
+            "fused_rank",
+        )
+    )

@@ -69,3 +69,73 @@ def domain_link_graph(
         per_page.groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def adamic_adar_pairs(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_degree: int | None = None,
+    min_score_x1e6: int = 0,
+) -> DataFrame:
+    """Link prediction by Adamic-Adar common-neighbor scoring: for every
+    NON-adjacent node pair sharing ≥1 neighbor, score = Σ_z 1/ln(deg z)
+    over common neighbors z — the classic missing-edge prior for a KG
+    (which taxon-chemical association is the extraction most likely to
+    have missed given the observed neighborhoods).
+
+    Spark shape (undirected): symmetrize + distinct, degree = one
+    combinable groupBy, then the wedge enumeration is a SELF-EQUI-JOIN
+    on the shared neighbor z with x < y — shuffle ∝ Σ_z deg(z)², never
+    all pairs. That Σ deg² is exactly the hub-fan-out hazard, so
+    ``max_degree`` drops super-hub pivots BEFORE the join (same stop-
+    item guard as pairwise_jaccard's max_item_frequency; a z linking
+    everything predicts nothing). Existing edges leave via one
+    anti-join. deg(z)=1 cannot reach the join (a common neighbor has
+    ≥2 edges), so 1/ln(deg) never divides by zero.
+
+    Scoring is integerized for cross-engine determinism: each pivot
+    contributes floor(10⁶/ln(deg z)) and the BIGINT contributions sum
+    (double sums are addition-order-dependent; integer sums are not).
+    ``score`` is that integer scaled back to a 6-dp double.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    pivots = deg if max_degree is None else deg.filter(F.col("deg") <= max_degree)
+    # (z, neighbor) with the pivot's degree attached
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).join(
+        pivots, "z"
+    )
+    wedges = (
+        adj.select("z", F.col("n").alias("x"), "deg")
+        .join(
+            adj.select("z", F.col("n").alias("y")),
+            "z",
+        )
+        .filter(F.col("x") < F.col("y"))
+    )
+    scored = wedges.groupBy("x", "y").agg(
+        F.sum(
+            F.floor(F.lit(1000000.0) / F.log("deg")).cast("long")
+        ).alias("score_x1e6")
+    ).withColumn("score", F.round(F.col("score_x1e6") / 1e6, 6))
+    existing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return (
+        scored.join(existing, ["x", "y"], "left_anti")
+        .filter(F.col("score_x1e6") >= min_score_x1e6)
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "score",
+            "score_x1e6",
+        )
+    )

@@ -92,3 +92,74 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — fixed synchronous
+    iterations with L1 normalization, the directed-graph complement to
+    :func:`pagerank`: on the domain link graph authorities are the
+    linked-to content hosts and hubs the linker/directory hosts, a pair
+    of quality priors PageRank conflates.
+
+    Same Spark shape as pagerank, twice per iteration:
+      auth(v) = Σ_{u→v} hub(u)   — edges ⋈ hubs on src, groupBy(dst);
+      hub(u)  = Σ_{u→v} auth(v)  — edges ⋈ auths on dst, groupBy(src);
+    each followed by an L1 normalization against a keyless 1-row sum
+    (broadcast join, no driver collect). Every step is an equi-join +
+    map-combinable aggregation; parallel edges collapse via distinct.
+    Nodes with no inbound (resp. outbound) edges carry 0 on that side
+    — kept by the left join against the node frame.
+
+    Returns (id, authority, hub) rounded to 6 dp.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be ≥ 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    auth = nodes.select("id", F.lit(1.0).alias("authority"))
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_tot"))
+        return df.join(F.broadcast(total)).select(
+            "id", (F.col(col) / F.col("_tot")).alias(col)
+        )
+
+    for _ in range(iterations):
+        contrib_a = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auth = nodes.join(
+            contrib_a.withColumnRenamed("dst", "id"), "id", "left"
+        ).select("id", F.coalesce("_a", F.lit(0.0)).alias("authority"))
+        auth = _l1_normalize(auth, "authority")
+        contrib_h = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("_h"))
+        )
+        hub = nodes.join(
+            contrib_h.withColumnRenamed("src", "id"), "id", "left"
+        ).select("id", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+        hub = _l1_normalize(hub, "hub")
+    return (
+        auth.join(hub, "id")
+        .select(
+            "id",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+    )

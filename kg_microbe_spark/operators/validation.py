@@ -1,0 +1,104 @@
+"""KGX edge validation — biolink-style domain/range constraint checking.
+
+The reference validates category compatibility through its biolink
+hierarchy utilities (reference: kg_microbe/utils/biolink_hierarchy.py:
+120-230 — most-specific-category selection and ancestor-aware
+category-compatibility checks) and remaps non-biolink predicates so the
+merged KG "validates cleanly" (transform_utils/ontologies/
+ontologies_transform.py:1014-1016). This module is that check as a set
+operator: given the edge table, the node table, a per-predicate
+domain/range constraint table, and the category-ancestor table, emit
+every edge whose subject or object category is incompatible with its
+predicate's declared domain/range.
+
+Spark shape (100-TB honest):
+- constraints and the category hierarchy are model-sized (biolink has
+  a few hundred categories / predicates) → both broadcast;
+- node categories are fact-sized → the two edge-side lookups are plain
+  shuffle equi-joins on node id, the same key the merge step already
+  partitioned by, so AQE reuses the exchange;
+- compatibility = "node category OR any of its ancestors equals the
+  required category", computed by joining the (category, ancestor)
+  closure table — set logic, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _compatible(
+    cat_col: str, required_col: str, ancestors: DataFrame, df: DataFrame, flag: str
+) -> DataFrame:
+    """Add boolean ``flag``: category equals the requirement or has it as
+    an ancestor. ``ancestors`` is the REFLEXIVE closure (category,
+    ancestor) — model-sized, broadcast."""
+    anc = F.broadcast(
+        ancestors.select(
+            F.col("category").alias(f"_{flag}_cat"),
+            F.col("ancestor").alias(f"_{flag}_anc"),
+        )
+    )
+    joined = df.join(
+        anc,
+        (F.col(cat_col) == F.col(f"_{flag}_cat"))
+        & (F.col(required_col) == F.col(f"_{flag}_anc")),
+        "left",
+    )
+    return joined.withColumn(flag, F.col(f"_{flag}_cat").isNotNull()).drop(
+        f"_{flag}_cat", f"_{flag}_anc"
+    )
+
+
+def domain_range_violations(
+    edges: DataFrame,
+    nodes: DataFrame,
+    constraints: DataFrame,
+    ancestors: DataFrame,
+) -> DataFrame:
+    """Edges violating their predicate's domain/range declaration.
+
+    ``edges``: (subject, predicate, object); ``nodes``: (id, category);
+    ``constraints``: (predicate, domain_category, range_category) —
+    predicates absent from it are unconstrained (kept out of the
+    report, matching the reference's fail-open posture, invariant B7);
+    ``ancestors``: reflexive (category, ancestor) closure.
+
+    Returns (subject, subject_category, predicate, object,
+    object_category, violation) with violation ∈ {'domain', 'range',
+    'both'}. A null category (node missing from the node table) is a
+    violation — dangling edges are exactly what validation exists to
+    catch.
+    """
+    subj_cat = nodes.select(
+        F.col("id").alias("subject"), F.col("category").alias("subject_category")
+    )
+    obj_cat = nodes.select(
+        F.col("id").alias("object"), F.col("category").alias("object_category")
+    )
+    con = F.broadcast(
+        constraints.select("predicate", "domain_category", "range_category")
+    )
+    e = (
+        edges.select("subject", "predicate", "object")
+        .join(con, "predicate", "inner")  # unconstrained predicates drop out
+        .join(subj_cat, "subject", "left")
+        .join(obj_cat, "object", "left")
+    )
+    e = _compatible("subject_category", "domain_category", ancestors, e, "_dom_ok")
+    e = _compatible("object_category", "range_category", ancestors, e, "_rng_ok")
+    return (
+        e.filter(~F.col("_dom_ok") | ~F.col("_rng_ok"))
+        .select(
+            "subject",
+            "subject_category",
+            "predicate",
+            "object",
+            "object_category",
+            F.when(~F.col("_dom_ok") & ~F.col("_rng_ok"), F.lit("both"))
+            .when(~F.col("_dom_ok"), F.lit("domain"))
+            .otherwise(F.lit("range"))
+            .alias("violation"),
+        )
+    )
