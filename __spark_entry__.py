@@ -7367,6 +7367,145 @@ FROM w WHERE fused_rank <= 5
 """
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) corpus — executes the SHIPPED
+    ``skipgram_pairs`` (operators/walks.py: self-equi-join on the walk
+    identity with the |Δstep| ≤ window filter post-join — per-walk
+    work length·window, never corpus² — then ONE map-combinable pair
+    count; the DeepWalk §4.2 step between random_walks and a skip-gram
+    trainer). Fixture: 10 deterministic 10-step walks from doc_id
+    arithmetic, window 2. Oracle: the identical join replay."""
+    from kg_microbe_spark.operators.walks import skipgram_pairs
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    walks = ms.select(
+        F.concat(F.lit("s"), (m % 10).cast("string")).alias("start"),
+        F.lit(0).alias("walk"),
+        F.floor(m / 10).cast("int").alias("step"),
+        F.concat(
+            F.lit("n"), ((m % 10 + F.floor(m / 10) * 3) % 20).cast("string")
+        ).alias("node"),
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+_SKIPGRAM_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 100 AS INT) AS m FROM documents),
+wk AS (
+  SELECT 's' || CAST(m % 10 AS VARCHAR) AS start, 0 AS walk,
+         m // 10 AS step,
+         'n' || CAST((m % 10 + (m // 10) * 3) % 20 AS VARCHAR) AS node
+  FROM ms
+)
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+FROM wk a JOIN wk b
+  ON a.start = b.start AND a.walk = b.walk
+ AND b.step <> a.step AND abs(b.step - a.step) <= 2
+GROUP BY a.node, b.node
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement — executes the SHIPPED
+    ``weighted_group_sample`` (operators/sampling.py: Efraimidis-
+    Spirakis A-ES with the deterministic md5-60bit uniform — rank key
+    ln(u)/w, k largest per stratum via one keyed window; non-positive
+    weights excluded). Fixture: REAL lang strata, weights from doc_id
+    arithmetic, k=15. Oracle: the identical hash → ln → window
+    replay."""
+    from kg_microbe_spark.operators.sampling import weighted_group_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("w"), F.col("doc_id").cast("string")).alias("id"),
+        ((F.col("doc_id") % 7 + 1) / F.lit(2.0)).alias("wt"),
+        "lang",
+    )
+    return weighted_group_sample(d, "id", "wt", "lang", k=15)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT 'w' || CAST(doc_id AS VARCHAR) AS id,
+         (doc_id % 7 + 1) / 2e0 AS wt, lang
+  FROM documents
+),
+s AS (
+  SELECT id, wt, lang,
+         ln((CAST(concat('0x', substr(md5(id), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976e0) / wt AS sc
+  FROM d WHERE wt > 0
+),
+r AS (
+  SELECT id, wt, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sc DESC, id ASC) AS rk
+  FROM s
+)
+SELECT id, wt, lang FROM r WHERE rk <= 15
+"""
+
+
+def q_dimensional_rollup(spark, sf_dir):
+    """SQL ROLLUP with grouping ids — executes the SHIPPED
+    ``dimensional_rollup`` (operators/stats.py: DataFrame.rollup →
+    ONE Expand + ONE map-combinable aggregation for |dims|+1 grouping
+    sets in a single shuffle; grouping_id() disambiguates subtotal
+    NULLs from data NULLs). REAL orders table over (priority, status)
+    with an exact integer cents measure. Oracle: GROUP BY ROLLUP +
+    GROUPING — both engines assign the first dim the MSB."""
+    from kg_microbe_spark.operators.stats import dimensional_rollup
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return dimensional_rollup(o, ["o_orderpriority", "o_orderstatus"], "cents")
+
+
+_ROLLUP_OLAP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS grouping_level,
+       COUNT(*) AS n, SUM(cents) AS total
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_langs(spark, sf_dir):
+    """Long→wide pivot — executes the SHIPPED ``pivot_table``
+    (operators/stats.py: groupBy().pivot(col, PINNED values) — one
+    map-combinable aggregation compiling to per-value conditional
+    counts; pinned values keep the sink schema deterministic and skip
+    Spark's discovery scan; absent cells are 0 not NULL). REAL
+    (source, lang) crosstab with a never-present 'pt' column proving
+    the zero-fill. Oracle: conditional-aggregation CASE replay."""
+    from kg_microbe_spark.operators.stats import pivot_table
+
+    d = _t(spark, sf_dir, "documents").select("source", "lang")
+    return pivot_table(d, "source", "lang", ["en", "de", "es", "fr", "zh", "pt"])
+
+
+_PIVOT_SQL = """
+SELECT source,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+       SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+       SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+       SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+       SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh,
+       SUM(CASE WHEN lang = 'pt' THEN 1 ELSE 0 END) AS pt
+FROM documents GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -7634,6 +7773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "ranking_metrics": q_ranking_metrics,
         "rrf_fusion": q_rrf_fusion,
+        "skipgram_pairs": q_skipgram_pairs,
+        "weighted_sample": q_weighted_sample,
+        "dimensional_rollup": q_dimensional_rollup,
+        "pivot_langs": q_pivot_langs,
     }
 
 
@@ -7802,4 +7945,8 @@ e AS (
         "quantize_embeddings": _QUANTIZE_SQL,
         "ranking_metrics": _RANKING_SQL,
         "rrf_fusion": _RRF_SQL,
+        "skipgram_pairs": _SKIPGRAM_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "dimensional_rollup": _ROLLUP_OLAP_SQL,
+        "pivot_langs": _PIVOT_SQL,
     }

@@ -193,3 +193,46 @@ def mixture_sample(
         hash_bucket(F.col(key_col).cast("string"))
         < cut_map[F.col(group_col)]
     )
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — Efraimidis-Spirakis
+    (2006) A-ES: each item draws priority u^(1/w) and the k largest
+    win. The weighted companion to ``deterministic_group_sample``
+    (quality-weighted eval-set construction: sample per-language docs
+    ∝ quality score, frozen forever).
+
+    u comes from the same md5-60bit hash as every sampler here —
+    u = (h+1)/2⁶⁰ ∈ (0,1] — so selection is deterministic,
+    engine-portable, and partition-invariant; the rank key is
+    ln(u)/w (monotone in u^(1/w), computed in double — one ln of an
+    exact rational and one division, bit-identical across engines),
+    ties to key asc. Non-positive/null weights are excluded (a zero
+    weight must never be drawn; A-ES is undefined there).
+
+    One keyed window per stratum — the same single-shuffle shape and
+    scale caveats as ``deterministic_group_sample``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col).cast("string"), resolution=1 << 60)
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

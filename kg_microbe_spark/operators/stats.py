@@ -93,3 +93,59 @@ def group_quantiles(
         .filter(F.col("_rk") == F.ceil(F.col("q") * F.col("_n")))
         .select(*key_cols, "q", F.col(value_col).alias("quantile_value"))
     )
+
+
+def dimensional_rollup(
+    df: DataFrame, dims: list[str], measure: str
+) -> DataFrame:
+    """OLAP ROLLUP over ``dims`` with count + sum(``measure``) and the
+    SQL-standard GROUPING id to disambiguate "NULL because subtotal"
+    from "NULL in the data" — the reference's per-source/per-predicate
+    summary tables (merged_graph_stats.yaml facets) generalized to one
+    hierarchical pass.
+
+    Spark shape: ``DataFrame.rollup`` compiles to ONE Expand + ONE
+    map-combinable aggregation — |dims|+1 grouping sets in a single
+    shuffle instead of |dims|+1 separate groupBy jobs; subtotal rows
+    collapse in map-side partials like any other key. ``grouping_id()``
+    follows the same bit order as SQL GROUPING(dim1, dim2, ...).
+    """
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.grouping_id().alias("grouping_level"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(measure).cast("long")).alias("total"),
+        )
+        .select(*dims, "grouping_level", "n", "total")
+    )
+
+
+def pivot_table(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Long→wide crosstab: one row per ``key_col``, one count column per
+    PINNED ``pivot_col`` value — the inverse of ``binning.melt_trait_
+    columns`` (the reference's wide trait tables reconstructed from
+    long (id, trait, value) rows).
+
+    The value list is REQUIRED (pinned): Spark's two-pass value
+    discovery is a full extra scan at corpus scale, and an unpinned
+    schema is nondeterministic under data drift — a production sink
+    schema must not depend on what happened to arrive today. With
+    pinned values the plan is ONE map-combinable aggregation (pivot
+    compiles to per-value conditional counts); values absent for a key
+    yield 0, not NULL (count semantics).
+    """
+    out = (
+        df.groupBy(key_col)
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        key_col,
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
+    )

@@ -96,3 +96,39 @@ def random_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence counts from walk sequences — the
+    DeepWalk/node2vec corpus step between :func:`random_walks` and any
+    skip-gram trainer (Perozzi et al. 2014 §4.2: each walk is a
+    "sentence", every node within ``window`` hops of a center is a
+    positive context).
+
+    ``walks``: (start, walk, step, node) as produced by
+    :func:`random_walks`. Returns (center, context, n_pairs) with each
+    ordered pair counted once per co-occurrence (both directions emit,
+    as in skip-gram: the center at step i sees j and vice versa).
+
+    Spark shape: the pair generation is a SELF-EQUI-JOIN on the walk
+    identity (start, walk) with the |Δstep| ∈ [1, window] filter
+    landing post-join — per-walk work is length·window, bounded by
+    construction, never corpus². The closing count is one
+    map-combinable groupBy: popular (center, context) edges collapse
+    in map-side partials.
+    """
+    if window < 1:
+        raise ValueError(f"window must be ≥ 1, got {window}")
+    a = walks.select(
+        "start", "walk", F.col("step").alias("_i"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "start", "walk", F.col("step").alias("_j"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, ["start", "walk"]).filter(
+        (F.col("_j") != F.col("_i"))
+        & (F.abs(F.col("_j") - F.col("_i")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
