@@ -7506,6 +7506,243 @@ FROM documents GROUP BY source
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Order-2 corpus-LM quality score — executes the SHIPPED
+    ``bigram_logprob`` (operators/lm_quality.py: unigram min_count
+    gate → broadcast <unk> mapping, ONE combinable bigram groupBy,
+    fact-sized (v,w) equi-join vs the corpus-growing bigram counts +
+    broadcast context counts; the word-salad detector above
+    unigram_logprob). Same straddling fixture as unigram_logprob so
+    both the kept and <unk> branches score. Oracle: positional
+    self-join transition replay with the identical add-1 smoothing."""
+    from kg_microbe_spark.operators.lm_quality import bigram_logprob
+
+    fx = _lm_fixture(_t(spark, sf_dir, "documents"))
+    return bigram_logprob(fx, "doc_id", "text", alpha=1.0, min_count=2)
+
+
+_BIGRAM_SQL = f"""
+WITH fx AS ({_LM_FIXTURE_SQL}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS l
+  FROM fx
+),
+uni AS (
+  SELECT w AS token, COUNT(*) AS c
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+),
+kept AS (SELECT token FROM uni WHERE c >= 2),
+vs AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM kept),
+mp AS (
+  SELECT doc_id, p,
+         CASE WHEN w IN (SELECT token FROM kept) THEN w
+              ELSE '<unk>' END AS w
+  FROM (SELECT doc_id, unnest(l) AS w,
+               unnest(range(1, len(l) + 1)) AS p
+        FROM toks)
+),
+trans AS (
+  SELECT a.doc_id, a.w AS v, b.w AS wn
+  FROM mp a JOIN mp b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+),
+big AS (SELECT v, wn, COUNT(*) AS c2 FROM trans GROUP BY v, wn),
+ctx AS (SELECT v, COUNT(*) AS c1 FROM trans GROUP BY v),
+scored AS (
+  SELECT t.doc_id, ln((b.c2 + 1e0) / (c.c1 + 1e0 * vs.v)) AS logp
+  FROM trans t
+  JOIN big b ON b.v = t.v AND b.wn = t.wn
+  JOIN ctx c ON c.v = t.v
+  CROSS JOIN vs
+)
+SELECT doc_id, COUNT(*) AS n_transitions,
+       ROUND(AVG(logp), 4) + 0e0 AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_modularity_communities(spark, sf_dir):
+    """Partition-quality scoring — executes the SHIPPED
+    ``modularity_by_community`` (operators/labelprop.py: symmetrize/
+    simplify → two assignment joins → exact BIGINT e_c/d_c/m partial
+    aggregations, doubles only in the final per-community division;
+    the objective that grades a propagate_labels run). Fixture: a
+    5-community graph with reversed duplicates, self-loops, and 40%
+    unassigned nodes exercising every guard. Oracle: the identical
+    least/greatest simplification + count replay."""
+    from kg_microbe_spark.operators.labelprop import modularity_by_community
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    vm = F.concat(F.lit("v"), m.cast("string"))
+    edges = (
+        ms.select(
+            vm.alias("src"),
+            F.concat(F.lit("v"), ((m + 5) % 100).cast("string")).alias("dst"),
+        )
+        .unionByName(
+            ms.select(
+                vm.alias("src"),
+                F.concat(F.lit("v"), ((m * 7 + 3) % 100).cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        .unionByName(
+            ms.filter(m < 10).select(
+                F.concat(F.lit("v"), ((m + 5) % 100).cast("string")).alias(
+                    "src"
+                ),
+                vm.alias("dst"),
+            )
+        )
+        .unionByName(
+            ms.filter(m % 17 == 0).select(vm.alias("src"), vm.alias("dst"))
+        )
+    )
+    assignments = ms.filter(m < 60).select(
+        vm.alias("id"),
+        F.concat(F.lit("g"), (m % 5).cast("string")).alias("community"),
+    )
+    out = modularity_by_community(edges, assignments)
+    # + 0.0 folds a possible -0.000000 rounding artifact (fixture-side
+    # normalization; the operator itself stays sign-faithful)
+    return out.withColumn("contribution", F.col("contribution") + F.lit(0.0))
+
+
+_MODULARITY_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 100 AS INT) AS m FROM documents),
+raw AS (
+  SELECT 'v' || CAST(m AS VARCHAR) AS src,
+         'v' || CAST((m + 5) % 100 AS VARCHAR) AS dst FROM ms
+  UNION ALL
+  SELECT 'v' || CAST(m AS VARCHAR),
+         'v' || CAST((m * 7 + 3) % 100 AS VARCHAR) FROM ms
+  UNION ALL
+  SELECT 'v' || CAST((m + 5) % 100 AS VARCHAR),
+         'v' || CAST(m AS VARCHAR) FROM ms WHERE m < 10
+  UNION ALL
+  SELECT 'v' || CAST(m AS VARCHAR), 'v' || CAST(m AS VARCHAR)
+  FROM ms WHERE m % 17 = 0
+),
+asg AS (
+  SELECT 'v' || CAST(m AS VARCHAR) AS id,
+         'g' || CAST(m % 5 AS VARCHAR) AS community
+  FROM ms WHERE m < 60
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+e AS (
+  SELECT und.a, und.b, ca.community AS _ca, cb.community AS _cb
+  FROM und
+  JOIN asg ca ON ca.id = und.a
+  JOIN asg cb ON cb.id = und.b
+),
+mrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _m FROM e),
+intra AS (
+  SELECT _ca AS community, COUNT(*) AS e_intra
+  FROM e WHERE _ca = _cb GROUP BY _ca
+),
+deg AS (
+  SELECT community, COUNT(*) AS degree_sum, COUNT(DISTINCT id) AS n_nodes
+  FROM (
+    SELECT a AS id, _ca AS community FROM e
+    UNION ALL
+    SELECT b, _cb FROM e
+  ) GROUP BY community
+)
+SELECT d.community, d.n_nodes, COALESCE(i.e_intra, 0) AS e_intra,
+       d.degree_sum,
+       ROUND(COALESCE(i.e_intra, 0) / _m
+             - (d.degree_sum / (2e0 * _m)) * (d.degree_sum / (2e0 * _m)),
+             6) + 0e0 AS contribution
+FROM deg d LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN mrow
+"""
+
+
+def q_hierarchy_cycles(spark, sf_dir):
+    """Subclass-hierarchy acyclicity audit — executes the SHIPPED
+    ``hierarchy_cycle_nodes`` (operators/validation.py: the shipped
+    depth-doubling transitive_closure + swapped-pair self-semi-join
+    for mutual reachability + explicit self-loop union; log₂-diameter
+    shuffles, the DAG precondition check for every rollup/closure
+    consumer). Fixture: broken 10-chains + a 4-cycle + a self-loop +
+    an edge pointing INTO the cycle (on-cycle nodes only must
+    report). Oracle: DuckDB WITH RECURSIVE ... UNION closure (dedup
+    semantics terminate on cycles), cycle nodes = reach(n, n)."""
+    from kg_microbe_spark.operators.validation import hierarchy_cycle_nodes
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    nm = F.concat(F.lit("n"), m.cast("string"))
+    edges = (
+        ms.filter(m % 10 != 9)
+        .select(
+            nm.alias("child"),
+            F.concat(F.lit("n"), (m + 1).cast("string")).alias("parent"),
+        )
+        .unionByName(
+            ms.filter(m < 8).select(
+                F.concat(F.lit("c"), (m % 4).cast("string")).alias("child"),
+                F.concat(F.lit("c"), ((m + 1) % 4).cast("string")).alias(
+                    "parent"
+                ),
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("s").alias("child"), F.lit("s").alias("parent")
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("t").alias("child"), F.lit("c0").alias("parent")
+            )
+        )
+    )
+    return hierarchy_cycle_nodes(edges, "child", "parent")
+
+
+_HIERARCHY_CYCLES_SQL = """
+WITH RECURSIVE ms AS (
+  SELECT DISTINCT CAST(doc_id % 60 AS INT) AS m FROM documents
+),
+e AS (
+  SELECT DISTINCT c, p FROM (
+    SELECT 'n' || CAST(m AS VARCHAR) AS c,
+           'n' || CAST(m + 1 AS VARCHAR) AS p
+    FROM ms WHERE m % 10 <> 9
+    UNION ALL
+    SELECT 'c' || CAST(m % 4 AS VARCHAR),
+           'c' || CAST((m + 1) % 4 AS VARCHAR)
+    FROM ms WHERE m < 8
+    UNION ALL
+    SELECT 's', 's' FROM ms WHERE m = 0
+    UNION ALL
+    SELECT 't', 'c0' FROM ms WHERE m = 0
+  )
+),
+reach(s, o) AS (
+  SELECT c, p FROM e
+  UNION
+  SELECT r.s, e.p FROM reach r JOIN e ON e.c = r.o
+)
+SELECT DISTINCT s AS id FROM reach WHERE s = o
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -7777,6 +8014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dimensional_rollup": q_dimensional_rollup,
         "pivot_langs": q_pivot_langs,
+        "bigram_logprob": q_bigram_logprob,
+        "modularity_communities": q_modularity_communities,
+        "hierarchy_cycles": q_hierarchy_cycles,
     }
 
 
@@ -7949,4 +8189,7 @@ e AS (
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "dimensional_rollup": _ROLLUP_OLAP_SQL,
         "pivot_langs": _PIVOT_SQL,
+        "bigram_logprob": _BIGRAM_SQL,
+        "modularity_communities": _MODULARITY_SQL,
+        "hierarchy_cycles": _HIERARCHY_CYCLES_SQL,
     }

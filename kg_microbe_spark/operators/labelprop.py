@@ -83,3 +83,74 @@ def propagate_labels(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def modularity_by_community(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity contributions per community — the quality
+    score for a :func:`propagate_labels` (or any) partition:
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c intra-community edges,
+    d_c the community's total degree, m the edge count of the
+    UNDIRECTED simple graph.
+
+    ``edges``: one row per undirected edge (symmetrized duplicates and
+    self-loops are removed here); ``assignments``: (id, community) —
+    nodes missing an assignment drop out of both terms (their edges
+    are excluded from m), keeping the two sums consistent.
+
+    Everything that can be integer IS integer: e_c, d_c, m are exact
+    BIGINT aggregations (map-combinable — a mega-community collapses
+    in partials), and the only doubles are the final two divisions per
+    community row, rounded to 6 dp. Returns (community, n_nodes,
+    e_intra, degree_sum, contribution); Q = SUM(contribution) up to
+    6-dp rounding.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    asg = assignments.select(F.col("id"), F.col("community"))
+    e = (
+        und.join(asg.withColumnRenamed("id", "a").withColumnRenamed("community", "_ca"), "a")
+        .join(asg.withColumnRenamed("id", "b").withColumnRenamed("community", "_cb"), "b")
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("_m"))
+    intra = (
+        e.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_intra"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"), F.col("_ca").alias("community"))
+        .unionByName(e.select(F.col("b").alias("id"), F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("degree_sum"),
+            F.count_distinct("id").alias("n_nodes"),
+        )
+    )
+    return (
+        deg.join(intra, "community", "left")
+        .select("community", "n_nodes", F.coalesce("e_intra", F.lit(0)).alias("e_intra"), "degree_sum")
+        .join(F.broadcast(m_row))
+        .select(
+            "community",
+            "n_nodes",
+            "e_intra",
+            "degree_sum",
+            F.round(
+                F.col("e_intra") / F.col("_m")
+                - (F.col("degree_sum") / (F.lit(2.0) * F.col("_m")))
+                * (F.col("degree_sum") / (F.lit(2.0) * F.col("_m"))),
+                6,
+            ).alias("contribution"),
+        )
+    )

@@ -219,3 +219,78 @@ def ccnet_buckets(
             band
         )
     return out.select(F.col(id_col), F.col(score_col), band.alias("band"))
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean transition log-probability under the corpus
+    BIGRAM LM with add-``alpha`` smoothing — the order-2 step from
+    :func:`unigram_logprob` toward the CCNet/KenLM quality signal
+    (word-salad text has plausible unigrams but implausible
+    transitions; this is the signal that separates them).
+
+    Model: tokens below the ``min_count`` unigram gate map to the
+    shared ``<unk>`` type (vocabulary V = kept + 1, the same gate that
+    bounds every broadcast here);
+    P(w|v) = (c(v,w) + α) / (c(v) + α·V) over the MAPPED types.
+    Each document scores the mean over its token transitions; docs
+    with < 2 tokens have no transitions and are excluded (an honest
+    absence, not a fabricated score).
+
+    Spark shape: the unigram gate is one combinable count whose KEPT
+    side broadcasts (min_count bounds it); bigram counts are one
+    combinable groupBy over mapped-token pairs; scoring joins each
+    document transition against the bigram-count frame by (v, w) —
+    an honest fact-sized equi-join, NOT a broadcast (the bigram vocab
+    grows with the corpus) — and against the broadcast context counts
+    for the unseen-bigram fallback. Returns (``id_col``,
+    n_transitions, mean_logprob) rounded to 4 dp.
+    """
+    from kg_microbe_spark.functions.text import tokens_col
+
+    a = F.lit(float(alpha))
+    uni = unigram_counts(docs, text_col)
+    kept = uni.filter(F.col("c") >= int(min_count)).select("token")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("_pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(kept), "token", "left_semi").select(
+        id_col, "_pos", "token"
+    ).unionByName(
+        toks.join(F.broadcast(kept), "token", "left_anti").select(
+            id_col, "_pos", F.lit("<unk>").alias("token")
+        )
+    )
+    v_size = kept.agg((F.count(F.lit(1)) + 1).cast("double").alias("_v"))
+    nxt = mapped.select(
+        F.col(id_col),
+        (F.col("_pos") - 1).alias("_pos"),
+        F.col("token").alias("_w"),
+    )
+    trans = mapped.join(nxt, [id_col, "_pos"]).select(
+        id_col, F.col("token").alias("_vtok"), "_w"
+    )
+    big = trans.groupBy("_vtok", "_w").agg(F.count(F.lit(1)).alias("_c2"))
+    ctx = trans.groupBy("_vtok").agg(F.count(F.lit(1)).alias("_c1"))
+    scored = (
+        trans.join(big, ["_vtok", "_w"], "left")
+        .join(F.broadcast(ctx), "_vtok")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("_c2"), F.lit(0)) + a)
+                / (F.col("_c1") + a * F.col("_v"))
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        _round4(F.avg("_logp")).alias("mean_logprob"),
+    )

@@ -102,3 +102,39 @@ def domain_range_violations(
             .alias("violation"),
         )
     )
+
+
+def hierarchy_cycle_nodes(edges: DataFrame, child_col: str, parent_col: str) -> DataFrame:
+    """Every node on a subclass-hierarchy cycle — the acyclicity check
+    an ontology ingest must run before any rollup/closure consumer
+    (a cyclic is-a chain makes descendant counts and LCA undefined;
+    the reference's ontology transforms assume DAG-ness, reference:
+    transform_utils/ontologies — this operator makes the assumption
+    checkable).
+
+    Composition, not a new traversal: the shipped depth-doubling
+    ``closure.transitive_closure`` (which drops reflexive pairs, so a
+    cycle manifests as MUTUAL reachability) + one self-semi-join on
+    the swapped pair + the self-loop edges unioned back. Returns one
+    column ``id``, distinct.
+    """
+    from kg_microbe_spark.operators.closure import transitive_closure
+
+    as_spo = edges.select(
+        F.col(child_col).alias("subject"),
+        F.lit("subclass_of").alias("predicate"),
+        F.col(parent_col).alias("object"),
+    )
+    c = transitive_closure(as_spo, "subclass_of").select("subject", "object")
+    swapped = c.select(
+        F.col("object").alias("subject"), F.col("subject").alias("object")
+    )
+    mutual = c.join(swapped, ["subject", "object"], "left_semi")
+    self_loops = edges.filter(F.col(child_col) == F.col(parent_col)).select(
+        F.col(child_col).alias("id")
+    )
+    return (
+        mutual.select(F.col("subject").alias("id"))
+        .unionByName(self_loops)
+        .distinct()
+    )
