@@ -7743,6 +7743,171 @@ SELECT DISTINCT s AS id FROM reach WHERE s = o
 """
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-node clustering coefficient — executes the SHIPPED
+    ``local_clustering`` (operators/triangles.py: the SAME
+    compact-forward (deg,id) orientation as triangle_count bounding
+    wedge work at O(|E|^1.5) under hub skew, then each triangle row
+    credits its 3 vertices in-row and T(v) is one combinable count).
+    Fixture: 10-ring + skip-2 chords with ONE chord removed, so
+    degrees and coefficients are non-uniform. Oracle: canonical
+    a<b<c three-way-join triangle replay (orientation-free but
+    count-identical)."""
+    from kg_microbe_spark.operators.triangles import local_clustering
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    ring = ms.select(
+        F.concat(F.lit("v"), (m % 10).cast("string")).alias("src"),
+        F.concat(F.lit("v"), ((m + 1) % 10).cast("string")).alias("dst"),
+    )
+    chords = ms.filter(m % 10 != 3).select(
+        F.concat(F.lit("v"), (m % 10).cast("string")).alias("src"),
+        F.concat(F.lit("v"), ((m + 2) % 10).cast("string")).alias("dst"),
+    )
+    return local_clustering(ring.unionByName(chords), "src", "dst")
+
+
+_CLUSTERING_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 50 AS INT) AS m FROM documents),
+raw AS (
+  SELECT 'v' || CAST(m % 10 AS VARCHAR) AS s,
+         'v' || CAST((m + 1) % 10 AS VARCHAR) AS d FROM ms
+  UNION ALL
+  SELECT 'v' || CAST(m % 10 AS VARCHAR),
+         'v' || CAST((m + 2) % 10 AS VARCHAR) FROM ms WHERE m % 10 <> 3
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v AS id, deg.d AS degree, COALESCE(per.t, 0) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(2e0 * COALESCE(per.t, 0) / (deg.d * (deg.d - 1)), 6)
+                 + 0e0
+            ELSE 0e0 END AS coefficient
+FROM deg LEFT JOIN per ON per.v = deg.v
+"""
+
+
+def q_neighbor_fanout(spark, sf_dir):
+    """GraphSAGE fixed fan-out neighbor sampling — executes the
+    SHIPPED ``neighbor_fanout_sample`` (operators/sampling.py:
+    k smallest md5-60bit(src|dst|seed) per source — deterministic,
+    partition-invariant, prefix-stable in k; parallel edges collapse
+    first so the sampled unit is the distinct neighbor). Fixture: a
+    12×17 CRT bipartite multigraph, k=4. Oracle: the identical
+    hash → window replay via the conv/substr(md5) identity."""
+    from kg_microbe_spark.operators.sampling import neighbor_fanout_sample
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 120).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    edges = ms.select(
+        F.concat(F.lit("u"), (m % 12).cast("string")).alias("src"),
+        F.concat(F.lit("w"), (m % 17).cast("string")).alias("dst"),
+    )
+    return neighbor_fanout_sample(edges, "src", "dst", k=4)
+
+
+_NEIGHBOR_FANOUT_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 120 AS INT) AS m FROM documents),
+e AS (
+  SELECT DISTINCT 'u' || CAST(m % 12 AS VARCHAR) AS src,
+                  'w' || CAST(m % 17 AS VARCHAR) AS dst
+  FROM ms
+),
+h AS (
+  SELECT src, dst,
+         CAST(concat('0x',
+              substr(md5(src || '|' || dst || '|' || 's0'), 1, 15))
+              AS BIGINT) AS hv
+  FROM e
+),
+r AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY hv ASC, dst ASC) AS rk
+  FROM h
+)
+SELECT src, dst FROM r WHERE rk <= 4
+"""
+
+
+def q_line_dedup_first(spark, sf_dir):
+    """C4-style global line dedup keeping the first occurrence —
+    executes the SHIPPED ``dedup_lines_keep_first``
+    (operators/boilerplate.py: per-line winner = min(struct(id, pos))
+    — the A2 skew-absorbing combinable form, a billion-page
+    boilerplate line collapses map-side — + the boilerplate
+    reassembly shape). Fixture: every document framed by shared
+    header/footer lines plus a mod-7 'tag' line, so winners exist at
+    corpus, cohort, and singleton frequency. Oracle: ROW_NUMBER
+    winner replay + ordered string_agg."""
+    from kg_microbe_spark.operators.boilerplate import dedup_lines_keep_first
+
+    fx = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("shared header"),
+            F.col("text"),
+            F.concat(F.lit("tag "), (F.col("doc_id") % 7).cast("string")),
+            F.lit("shared footer"),
+        ).alias("text"),
+    )
+    return dedup_lines_keep_first(fx)
+
+
+_LINE_DEDUP_SQL = """
+WITH fx AS (
+  SELECT doc_id,
+         'shared header' || chr(10) || text || chr(10) ||
+         'tag ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'shared footer' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM fx)
+),
+win AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM win GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -8017,6 +8182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "modularity_communities": q_modularity_communities,
         "hierarchy_cycles": q_hierarchy_cycles,
+        "clustering_coefficient": q_clustering_coefficient,
+        "neighbor_fanout": q_neighbor_fanout,
+        "line_dedup_first": q_line_dedup_first,
     }
 
 
@@ -8192,4 +8360,7 @@ e AS (
         "bigram_logprob": _BIGRAM_SQL,
         "modularity_communities": _MODULARITY_SQL,
         "hierarchy_cycles": _HIERARCHY_CYCLES_SQL,
+        "clustering_coefficient": _CLUSTERING_SQL,
+        "neighbor_fanout": _NEIGHBOR_FANOUT_SQL,
+        "line_dedup_first": _LINE_DEDUP_SQL,
     }

@@ -64,3 +64,49 @@ def remove_boilerplate_lines(
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
     )
+
+
+def dedup_lines_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global exact-line deduplication KEEPING the single first
+    occurrence — C4's "keep one of every duplicate span" rule at line
+    granularity (Raffel et al. 2020 §2.2), the retention-minded sibling
+    of ``remove_boilerplate_lines`` (which drops frequent lines from
+    EVERY document, including the first).
+
+    The winner of each line is the smallest (``id_col``, pos) pair via
+    ``min(struct(...))`` — the A2 skew-absorbing aggregation form: a
+    line repeated across a billion pages collapses in map-side
+    partials, never through one reducer as a window would route it.
+    Repeats of a line WITHIN its winning document also reduce to the
+    single earliest position. Reassembly and the returned
+    (``clean_text``, n_kept, n_removed) schema match
+    ``remove_boilerplate_lines``; a document whose every line lost
+    survives with ''.
+    """
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("wd"), F.col("pos").alias("wp"))).alias(
+            "_w"
+        )
+    )
+    tagged = lines.join(winners, "line").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("_w.wd")) & (F.col("pos") == F.col("_w.wp")),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+    )
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept_structs, lambda x: x["line"]), sep
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )

@@ -236,3 +236,52 @@ def weighted_group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def neighbor_fanout_sample(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Fixed fan-out neighbor sampling — at most ``k`` distinct
+    neighbors per source node, the GraphSAGE §3 mini-batch sampler
+    (Hamilton et al. 2017) that bounds per-node aggregation work on a
+    power-law graph before any GNN feature join (compose with
+    ``projection.neighbor_mean_features``).
+
+    Selection is the k neighbors with the SMALLEST md5-60bit of
+    ``src|dst|seed`` — deterministic, partition-invariant, and
+    PREFIX-STABLE in k (growing the fan-out only appends neighbors, so
+    a cached layer-1 sample stays a subset of a re-run at larger k).
+    Distinct seeds draw independent samples (multi-layer GraphSAGE
+    wants fresh neighborhoods per layer). Parallel edges collapse
+    first — the unit sampled is the distinct neighbor, not the edge.
+
+    Shape: one (src, dst) distinct + one keyed window; a hub's
+    candidate set spreads over the dedup exchange before the window
+    sees it. The window is per-source top-k like every W3 rank here;
+    at extreme hub degree the repeated-min_by form trades k passes for
+    the sort, same as deterministic_group_sample's caveat.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    from pyspark.sql import Window
+
+    e = edges.select(src_col, dst_col).distinct()
+    h = hash_bucket(
+        F.concat_ws(
+            "|",
+            F.col(src_col).cast("string"),
+            F.col(dst_col).cast("string"),
+            F.lit(seed),
+        ),
+        resolution=1 << 60,
+    )
+    w = Window.partitionBy(src_col).orderBy(h.asc(), F.col(dst_col).asc())
+    return (
+        e.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -30,16 +30,18 @@ def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    """1-row frame (n_triangles long) over the undirected, de-duplicated,
-    self-loop-free projection of ``edges``."""
-    und = _undirected(edges, src_col, dst_col)
-    deg = (
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _triangle_rows(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """One row per triangle of the undirected simple graph, columns
+    (u, x, y) — its three vertices, each triangle exactly once."""
     # orient low (deg, id) → high (deg, id)
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("_da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("_db"))
@@ -58,7 +60,62 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("y"))
     wedges = e1.join(e2, on="u").filter(F.col("x") != F.col("y"))
     closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    tri = wedges.join(closing, on=["x", "y"])
     # each unordered wedge {x,y} appears twice ((x,y) and (y,x)) but the
     # closing edge exists in only ONE orientation → each triangle counted once
+    return wedges.join(closing, on=["x", "y"])
+
+
+def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """1-row frame (n_triangles long) over the undirected, de-duplicated,
+    self-loop-free projection of ``edges``."""
+    und = _undirected(edges, src_col, dst_col)
+    tri = _triangle_rows(und, _degrees(und))
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def local_clustering(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    cc(v) = 2·T(v) / (d(v)·(d(v)−1)) over the undirected simple graph —
+    the node-level density signal next to the global ``triangle_count``
+    (Watts-Strogatz 1998; the spam-farm/community-core discriminator on
+    a web link graph).
+
+    Same compact-forward orientation as ``triangle_count`` (wedge work
+    bounded O(|E|^1.5) regardless of hub skew), then each triangle row
+    credits its THREE vertices via one in-row explode and T(v) is one
+    map-combinable count — a clique's quadratic triangle fan-in
+    collapses in partials. Degree-<2 nodes get coefficient 0.0 (no
+    possible pairs), an explicit contract rather than NULL/NaN.
+    Returns (id, degree, triangles, coefficient) with the coefficient
+    rounded to 6 dp (double division only in the final per-node row).
+    """
+    und = _undirected(edges, src_col, dst_col)
+    deg = _degrees(und)
+    tri = _triangle_rows(und, deg)
+    per = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree")
+    return (
+        deg.select(F.col("v").alias("id"), F.col("d").alias("degree"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                d >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0))
+                    / (d * (d - F.lit(1))),
+                    6,
+                )
+                + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )
