@@ -7908,6 +7908,221 @@ FROM win GROUP BY doc_id
 """
 
 
+def q_louvain_round(spark, sf_dir):
+    """Synchronous Louvain local-move round — executes the SHIPPED
+    ``louvain_move_round`` (operators/labelprop.py: EXACT BIGINT gain
+    2m·k_ic − k_i·Σtot(c\\i) so the argmax is engine-stable; one
+    combinable (i, c) weight sum + combinable degree/Σtot sums +
+    honest community-keyed Σtot equi-join + the A2 min_by argmax;
+    smaller-community ties, stay-as-fixpoint). Fixture: 20-ring with
+    block chords, SINGLETON initial communities (Σtot node-sized, the
+    round-0 worst case) and 4 unassigned nodes proving the universe
+    rule. Oracle: the full integer replay, winner via ROW_NUMBER."""
+    from kg_microbe_spark.operators.labelprop import louvain_move_round
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    ring = ms.select(
+        F.concat(F.lit("v"), (m % 20).cast("string")).alias("src"),
+        F.concat(F.lit("v"), ((m + 1) % 20).cast("string")).alias("dst"),
+    )
+    chords = ms.filter(m % 5 < 3).select(
+        F.concat(F.lit("v"), (m % 20).cast("string")).alias("src"),
+        F.concat(F.lit("v"), ((m + 2) % 20).cast("string")).alias("dst"),
+    )
+    asg = ms.filter(m < 16).select(
+        F.concat(F.lit("v"), m.cast("string")).alias("id"),
+        F.concat(F.lit("g"), m.cast("string")).alias("community"),
+    )
+    return louvain_move_round(ring.unionByName(chords), asg)
+
+
+_LOUVAIN_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 100 AS INT) AS m FROM documents),
+raw AS (
+  SELECT 'v' || CAST(m % 20 AS VARCHAR) AS s,
+         'v' || CAST((m + 1) % 20 AS VARCHAR) AS d, 1 AS w FROM ms
+  UNION ALL
+  SELECT 'v' || CAST(m % 20 AS VARCHAR),
+         'v' || CAST((m + 2) % 20 AS VARCHAR), 1 FROM ms WHERE m % 5 < 3
+),
+asg AS (
+  SELECT 'v' || CAST(m AS VARCHAR) AS id,
+         'g' || CAST(m AS VARCHAR) AS community
+  FROM ms WHERE m < 16
+),
+und AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b, CAST(SUM(w) AS BIGINT) AS w
+  FROM raw WHERE s <> d GROUP BY least(s, d), greatest(s, d)
+),
+bidir AS (SELECT a, b, w FROM und UNION ALL SELECT b, a, w FROM und),
+e AS (
+  SELECT bd.a, bd.b, bd.w, cb.community AS _cb
+  FROM bidir bd
+  JOIN asg ca ON ca.id = bd.a
+  JOIN asg cb ON cb.id = bd.b
+),
+kic AS (
+  SELECT a AS id, _cb AS community, CAST(SUM(w) AS BIGINT) AS k_ic
+  FROM e GROUP BY a, _cb
+),
+deg AS (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k_i FROM e GROUP BY a),
+sigma AS (
+  SELECT asg.community, CAST(SUM(deg.k_i) AS BIGINT) AS sigma_tot
+  FROM asg JOIN deg ON deg.id = asg.id GROUP BY asg.community
+),
+m2 AS (SELECT CAST(SUM(k_i) AS BIGINT) AS _m2 FROM deg),
+cand AS (
+  SELECT id, community, MAX(k_ic) AS k_ic FROM (
+    SELECT id, community, k_ic FROM kic
+    UNION ALL
+    SELECT asg.id, asg.community, CAST(0 AS BIGINT)
+    FROM asg JOIN deg ON deg.id = asg.id
+  ) GROUP BY id, community
+),
+scored AS (
+  SELECT c.id, c.community,
+         m2._m2 * c.k_ic
+         - d.k_i * (s.sigma_tot
+                    - CASE WHEN c.community = o.community
+                           THEN d.k_i ELSE 0 END) AS g
+  FROM cand c
+  JOIN asg o ON o.id = c.id
+  JOIN deg d ON d.id = c.id
+  JOIN sigma s ON s.community = c.community
+  CROSS JOIN m2
+),
+moved AS (
+  SELECT id, community FROM (
+    SELECT id, community,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY g DESC, community ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT asg.id, COALESCE(moved.community, asg.community) AS community
+FROM asg LEFT JOIN moved ON moved.id = asg.id
+"""
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine self-join — executes the SHIPPED
+    ``tfidf_cosine_pairs`` (operators/tfidf.py: INTEGERIZED weights
+    floor(1e4·tf·idf) so norms²/dots are exact BIGINT combinable sums;
+    max_doc_frequency hub guard BEFORE the inverted-index join — fan-out
+    Σ df² over kept terms, never n²; doubles only in the final per-pair
+    division). Fixture: 60 docs over a sliding 8-token window of a
+    30-word vocabulary (graded overlaps + an exact twin at m+30), a
+    doubled lead token (tf=2 path) and an every-doc 'stop' token the
+    guard must drop. Oracle: identical floor arithmetic replay."""
+    from kg_microbe_spark.operators.tfidf import tfidf_cosine_pairs
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    parts = [
+        F.concat(F.lit("w"), ((m + j) % 30).cast("string")) for j in range(8)
+    ]
+    fx = ms.select(
+        m.alias("doc_id"),
+        F.concat_ws(" ", *parts, F.lit("stop"), parts[0]).alias("text"),
+    )
+    return tfidf_cosine_pairs(
+        fx, "doc_id", "text", min_cosine=0.3, max_doc_frequency=50
+    )
+
+
+_TFIDF_COSINE_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 60 AS INT) AS m FROM documents),
+fx AS (
+  SELECT m AS doc_id,
+         'w' || CAST(m % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 1) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 2) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 3) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 4) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 5) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 6) % 30 AS VARCHAR) || ' ' ||
+         'w' || CAST((m + 7) % 30 AS VARCHAR) || ' ' ||
+         'stop w' || CAST(m % 30 AS VARCHAR) AS text
+  FROM ms
+),
+toks AS (
+  SELECT doc_id, w AS token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM fx
+  ) WHERE w <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n FROM fx),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(FLOOR(10000 * tf.tf *
+              (ln(CAST(nd.n + 1 AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE))
+               + 1e0)) AS BIGINT) AS w
+  FROM tf JOIN dft USING (token) CROSS JOIN nd
+  WHERE dft.df <= 50
+),
+norm2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cos AS (
+  SELECT doc_a, doc_b,
+         ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) + 0e0 AS cosine
+  FROM dot
+  JOIN norm2 na ON na.doc_id = dot.doc_a
+  JOIN norm2 nb ON nb.doc_id = dot.doc_b
+)
+SELECT doc_a, doc_b, cosine FROM cos WHERE cosine >= 0.3
+"""
+
+
+def q_decay_sum_events(spark, sf_dir):
+    """Exponential recency-weighted aggregation — executes the SHIPPED
+    ``decay_sum`` (operators/temporal.py: per-event contributions
+    integerized ONCE as floor(1e9·w·exp(−ln2·age_us/h_us)) BIGINT with
+    exact integer-microsecond ages, so the per-key sum is combinable
+    and addition-order-exact; explicit ref_ts, never now()). REAL
+    events table, value-weighted, 7-day half-life against a
+    post-window reference. Oracle: the identical epoch_us/floor
+    replay with the same interpolated decay constant."""
+    from kg_microbe_spark.operators.temporal import decay_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return decay_sum(
+        ev,
+        "user_id",
+        "ts",
+        "2024-02-01 00:00:00",
+        7 * 86400.0,
+        weight_col="value",
+    )
+
+
+_DECAY_C = repr(-__import__("math").log(2.0) / (7 * 86400.0 * 1e6))
+
+_DECAY_SUM_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(CAST(FLOOR(1000000000e0 * value *
+             exp(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                      - epoch_us(ts) AS DOUBLE) * ({_DECAY_C})))
+             AS BIGINT)) / 1000000000e0, 6) + 0e0 AS decayed_sum
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -8185,6 +8400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "neighbor_fanout": q_neighbor_fanout,
         "line_dedup_first": q_line_dedup_first,
+        "louvain_round": q_louvain_round,
+        "tfidf_cosine": q_tfidf_cosine,
+        "decay_sum_events": q_decay_sum_events,
     }
 
 
@@ -8363,4 +8581,7 @@ e AS (
         "clustering_coefficient": _CLUSTERING_SQL,
         "neighbor_fanout": _NEIGHBOR_FANOUT_SQL,
         "line_dedup_first": _LINE_DEDUP_SQL,
+        "louvain_round": _LOUVAIN_SQL,
+        "tfidf_cosine": _TFIDF_COSINE_SQL,
+        "decay_sum_events": _DECAY_SUM_SQL,
     }

@@ -154,3 +154,125 @@ def modularity_by_community(
             ).alias("contribution"),
         )
     )
+
+
+def louvain_move_round(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One synchronous Louvain local-move round (Blondel et al. 2008
+    phase 1, one sweep): every node moves to the neighbor community
+    (or stays) maximizing the modularity gain, evaluated against the
+    ROUND-START partition — the deterministic bulk-synchronous variant
+    (sequential Louvain's node order is irreproducible on a shuffled
+    cluster; synchronous sweeps converge the same communities and are
+    replayable). Iterate by feeding the result back in; grade the
+    partition with :func:`modularity_by_community`.
+
+    All gain arithmetic is EXACT BIGINT: with integer weights, moving
+    node i to community c beats c' iff
+    ``2m·k_{i,c} − k_i·Σtot(c\\i)`` beats the same for c' (the common
+    1/2m² factor of ΔQ cancels in the argmax). Ties break to the
+    smaller community id, and a node with no strictly better neighbor
+    community keeps its own — so a converged partition is a fixpoint.
+
+    Shape: symmetrize/simplify (as modularity) → ONE combinable
+    (i, c_neighbor) weight sum — a hub's million incident edges shrink
+    to per-community partials map-side — + combinable degree and Σtot
+    sums → candidate scoring joins (Σtot is community-keyed and
+    node-sized at round 0, an honest equi-join, never broadcast) →
+    the A2 min_by argmax. Returns (id, community).
+
+    ``weight_col`` must be integer-typed when given (the exactness
+    contract); parallel edges' weights add BEFORE simplification.
+    Nodes missing an assignment drop from the graph entirely (edges,
+    degrees, and 2m), keeping the gain arithmetic internally
+    consistent — the same universe rule as
+    :func:`modularity_by_community`.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            w.alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    bidir = und.select("a", "b", "w").unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    asg = assignments.select("id", "community")
+    # assigned-only subgraph: a semi-filtered, b carries its community
+    e = bidir.join(
+        asg.select(F.col("id").alias("a")), "a", "left_semi"
+    ).join(
+        asg.select(F.col("id").alias("b"), F.col("community").alias("_cb")),
+        "b",
+    )
+    # k_{i,c}: weight from i into each neighbor community (round-start)
+    kic = (
+        e.groupBy(F.col("a").alias("id"), F.col("_cb").alias("community"))
+        .agg(F.sum("w").alias("k_ic"))
+    )
+    deg = e.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("k_i"))
+    sigma = (
+        asg.join(deg, "id")
+        .groupBy("community")
+        .agg(F.sum("k_i").alias("sigma_tot"))
+    )
+    m2 = deg.agg(F.sum("k_i").alias("_m2"))  # 2m (each edge counted twice)
+    own = asg.withColumnRenamed("community", "_c_own")
+    # candidate set = neighbor communities ∪ own community (k_ic 0 when
+    # no intra neighbor); nodes with no assigned neighbor are absent
+    # from deg/kic and keep their assignment via the final coalesce
+    cand = (
+        kic.unionByName(
+            own.join(deg.select("id"), "id", "left_semi").select(
+                "id",
+                F.col("_c_own").alias("community"),
+                F.lit(0).cast("long").alias("k_ic"),
+            )
+        )
+        .groupBy("id", "community")
+        .agg(F.max("k_ic").alias("k_ic"))
+    )
+    scored = (
+        cand.join(own, "id")
+        .join(deg, "id")
+        .join(sigma, "community")
+        .join(F.broadcast(m2))
+        .select(
+            "id",
+            "community",
+            (
+                F.col("_m2") * F.col("k_ic")
+                - F.col("k_i")
+                * (
+                    F.col("sigma_tot")
+                    - F.when(
+                        F.col("community") == F.col("_c_own"), F.col("k_i")
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("_gain"),
+        )
+    )
+    moved = scored.groupBy("id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_gain")).alias("_ng"), F.col("community").alias("c")
+            )
+        )["c"].alias("_c_new")
+    )
+    return asg.join(moved, "id", "left").select(
+        "id", F.coalesce("_c_new", "community").alias("community")
+    )

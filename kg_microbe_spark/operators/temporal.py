@@ -306,3 +306,51 @@ def native_session_window(
         F.col("session_window.end").alias("session_end"),
         *aggs.keys(),
     )
+
+
+def decay_sum(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ref_ts: str,
+    half_life_s: float,
+    weight_col: Optional[str] = None,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Exponential recency-weighted aggregation per key —
+    score(k) = Σ w·2^(−age/half_life), the freshness prior a KG built
+    from a rolling crawl puts on fact confidence (an assertion seen
+    daily last week outweighs one seen hourly last year; complements
+    the count-only ``time_rollup``).
+
+    Determinism contract: each event's contribution is integerized
+    ONCE — floor(scale · w · exp(−ln2 · age_us / (h·1e6))) as BIGINT,
+    with age in exact integer microseconds — so the per-key sum is
+    map-combinable and addition-order-exact (a float sum across
+    partitions is not reproducible). ``ref_ts`` is an explicit ISO
+    timestamp, never now(): the same input always scores the same.
+    Events after ``ref_ts`` get decay > 1 (age < 0) rather than being
+    dropped — filter upstream if the ref is a hard cutoff.
+
+    Returns (``key_col``, n_events, decayed_sum) with decayed_sum =
+    SUM/scale rounded to 6 dp. One combinable groupBy; the decay
+    factor is a narrow projection.
+    """
+    import math
+
+    c = -math.log(2.0) / (float(half_life_s) * 1e6)
+    # NTZ columns cast through TIMESTAMP (sessions here pin UTC, so the
+    # instant is unchanged); unix_micros keeps the age an exact integer
+    age_us = F.unix_micros(F.lit(ref_ts).cast("timestamp")) - F.unix_micros(
+        F.col(ts_col).cast("timestamp")
+    )
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    contrib = F.floor(
+        F.lit(float(scale)) * w * F.exp(age_us.cast("double") * F.lit(c))
+    ).cast("long")
+    return events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.round(F.sum(contrib) / F.lit(float(scale)), 6) + F.lit(0.0)
+        ).alias("decayed_sum"),
+    )

@@ -70,3 +70,94 @@ def tfidf_top_terms(
         .filter(F.col("_rk") <= k)
         .select(F.col("_id").alias(id_col), "token", "tf", "df", "tfidf")
     )
+
+
+# integer weight scale for tfidf_cosine_pairs: floor(1e4·tf·idf).
+# Headroom: idf ≤ ln(N)+1 (~29 at N=1e12), so w ≤ 3e5·tf and a document
+# needs Σ tf² ~ 1e8 before its norm² nears the BIGINT line — far beyond
+# any real page after the df guard removes the high-tf stop terms.
+COSINE_SCALE = 10_000
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_cosine: float = 0.3,
+    max_doc_frequency: int = 100,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join — the weighted-vector
+    complement of ``setjoin.jaccard_set_join`` (near-topic pages that
+    share few exact shingles still score; the classic inverted-index
+    similarity join of Bayardo et al. 2007).
+
+    Weights are INTEGERIZED — w = floor(1e4·tf·(ln((N+1)/(df+1))+1)),
+    the same smoothed idf as :func:`tfidf_top_terms` — so norms² and
+    dot products are exact BIGINT map-combinable sums (a float dot
+    summed across partitions is addition-order-dependent; the floor
+    happens once per (doc, term), never inside an aggregation). The
+    only doubles are the final per-pair cosine divisions, rounded to
+    6 dp.
+
+    Scale shape: candidate generation is the term-keyed inverted-index
+    self-join; ``max_doc_frequency`` drops stop terms BEFORE the join
+    (the A4 hub guard — fan-out is Σ df² over KEPT terms, never n²,
+    and the dropped terms are exactly the ~zero-idf ones that carry no
+    cosine mass). Norms are computed over the SAME guarded vocabulary
+    so the cosine is internally consistent. Returns
+    (doc_a, doc_b, cosine) with doc_a < doc_b, cosine ≥ ``min_cosine``.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    tf = tok.groupBy("_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("_n")))
+    w = (
+        tf.join(df_.filter(F.col("df") <= max_doc_frequency), "token")
+        .crossJoin(n_docs)
+        .select(
+            "_id",
+            "token",
+            F.floor(
+                F.lit(COSINE_SCALE)
+                * F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norm2 = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dot.join(norm2.select(F.col("_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(norm2.select(F.col("_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.round(
+                    F.col("dot")
+                    / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(min_cosine)))
+    )
