@@ -125,3 +125,56 @@ def ranking_metrics(
         F.round(F.col("_rr_sum") / F.col("n_ranked") / 1e9, 6).alias("mrr"),
         *hit_cols,
     )
+
+
+def bcubed_scores(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    class_col: str = "class_",
+) -> DataFrame:
+    """B³ precision/recall/F1 of a predicted clustering against gold
+    classes (Bagga & Baldwin 1998) — the standard entity-resolution /
+    coreference quality metric (pairwise F1 over-rewards big clusters;
+    B³ scores each ITEM's neighborhood).
+
+    The per-item sums collapse algebraically onto aggregated frames:
+    B³P = (1/N)·Σ_{k,c} n_kc²/|C_k| and B³R with |L_c| — so the whole
+    metric is three map-combinable counts (cluster sizes, class sizes,
+    (cluster, class) overlaps) and NEVER a per-item join-back. Each
+    rational term is integerized as floor(1e9·n²/size) BIGINT before
+    summing (a float sum over the overlap table is addition-order-
+    dependent; the ≤1e-9-per-term floor bias is documented), division
+    happens once per metric. Items present in only one frame drop
+    (inner join on ``id_col``) — score over the evaluable universe.
+    Returns 1 row (n_items, precision, recall, f1), 6 dp.
+    """
+    j = predicted.select(id_col, cluster_col).join(
+        gold.select(id_col, class_col), id_col
+    )
+    ov = j.groupBy(cluster_col, class_col).agg(F.count(F.lit(1)).alias("n"))
+    csz = j.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("c_sz"))
+    lsz = j.groupBy(class_col).agg(F.count(F.lit(1)).alias("l_sz"))
+    terms = ov.join(csz, cluster_col).join(lsz, class_col).select(
+        F.col("n"),
+        F.floor(F.lit(1e9) * F.col("n") * F.col("n") / F.col("c_sz"))
+        .cast("long")
+        .alias("_p"),
+        F.floor(F.lit(1e9) * F.col("n") * F.col("n") / F.col("l_sz"))
+        .cast("long")
+        .alias("_r"),
+    )
+    agg = terms.agg(
+        F.sum("n").alias("n_items"),
+        F.sum("_p").alias("_ps"),
+        F.sum("_r").alias("_rs"),
+    )
+    p = F.col("_ps") / (F.lit(1e9) * F.col("n_items"))
+    r = F.col("_rs") / (F.lit(1e9) * F.col("n_items"))
+    return agg.select(
+        "n_items",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round((2 * p * r) / (p + r), 6).alias("f1"),
+    )

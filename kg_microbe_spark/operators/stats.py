@@ -149,3 +149,52 @@ def pivot_table(
         key_col,
         *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler — per column: row count, null count,
+    exact distinct count, min/max (stringified so heterogeneous column
+    types share one long-format schema). The data-quality gate a
+    pipeline runs on every new ingest before transforms see it
+    (reference analog: the ad-hoc per-source sanity checks in its
+    transform notebooks — here one operator, any table).
+
+    Shape: ONE aggregation pass computes every per-column metric as
+    parallel agg expressions (count/sum/min/max are map-combinable;
+    count_distinct expands per column but still partial-aggregates),
+    yielding a single 1×(5·|cols|) row that is exploded IN-ROW to the
+    long format — no per-column scans, no driver loop over the data.
+    min/max stringify BEFORE aggregation so ordering is the COLUMN
+    type's, not the string's, only the reported value is cast.
+    Returns (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value) — one row per profiled column.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"_n_{c}"),
+                F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}"),
+                F.count_distinct(col).alias(f"_dist_{c}"),
+                F.min(col).cast("string").alias(f"_min_{c}"),
+                F.max(col).cast("string").alias(f"_max_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select("_r.*")
