@@ -8233,6 +8233,180 @@ FROM fx
 """
 
 
+def q_scc_graph(spark, sf_dir):
+    """Strongly connected component labels — executes the SHIPPED
+    ``scc_labels`` (operators/components.py: depth-doubling closure +
+    swapped-pair semi-join mutual reachability + ONE combinable min
+    per node; singletons self-label via the node union; the directed
+    complement of the alternating-star components). Fixture: broken
+    chains + a 4-cycle + a 2-cycle + into-cycle and self-loop edges.
+    Oracle: WITH RECURSIVE UNION closure, label = min over mutual ∪
+    self."""
+    from kg_microbe_spark.operators.components import scc_labels
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    nm = F.concat(F.lit("n"), m.cast("string"))
+    edges = (
+        ms.filter(m % 10 != 9)
+        .select(
+            nm.alias("src"),
+            F.concat(F.lit("n"), (m + 1).cast("string")).alias("dst"),
+        )
+        .unionByName(
+            ms.filter(m < 8).select(
+                F.concat(F.lit("c"), (m % 4).cast("string")).alias("src"),
+                F.concat(F.lit("c"), ((m + 1) % 4).cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("x").alias("src"), F.lit("y").alias("dst")
+            )
+        )
+        .unionByName(
+            ms.filter(m == 1).select(
+                F.lit("y").alias("src"), F.lit("x").alias("dst")
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("t").alias("src"), F.lit("c0").alias("dst")
+            )
+        )
+    )
+    return scc_labels(edges, "src", "dst")
+
+
+_SCC_SQL = """
+WITH RECURSIVE ms AS (
+  SELECT DISTINCT CAST(doc_id % 60 AS INT) AS m FROM documents
+),
+e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT 'n' || CAST(m AS VARCHAR) AS s,
+           'n' || CAST(m + 1 AS VARCHAR) AS d
+    FROM ms WHERE m % 10 <> 9
+    UNION ALL
+    SELECT 'c' || CAST(m % 4 AS VARCHAR),
+           'c' || CAST((m + 1) % 4 AS VARCHAR)
+    FROM ms WHERE m < 8
+    UNION ALL SELECT 'x', 'y' FROM ms WHERE m = 0
+    UNION ALL SELECT 'y', 'x' FROM ms WHERE m = 1
+    UNION ALL SELECT 't', 'c0' FROM ms WHERE m = 0
+  )
+),
+reach(s, o) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.o
+),
+mutual AS (
+  SELECT r1.s, r1.o FROM reach r1
+  JOIN reach r2 ON r2.s = r1.o AND r2.o = r1.s
+),
+nodes AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+cand AS (
+  SELECT s AS id, o AS scc FROM mutual
+  UNION ALL
+  SELECT id, id FROM nodes
+)
+SELECT id, MIN(scc) AS scc FROM cand GROUP BY id
+"""
+
+
+def q_ktruss_edges(spark, sf_dir):
+    """Bounded-round k-truss pruning — executes the SHIPPED
+    ``ktruss_prune`` + ``edge_triangle_support``
+    (operators/triangles.py: per round the compact-forward triangle
+    enumeration + in-row 3-edge explode + ONE combinable support
+    count + prune; the edge-level kcore analog). Fixture: a K5 core
+    (support 3, survives), a pendant triangle (support 1, pruned
+    round 1), a path and a bridge (support 0) — k=4, rounds=2 proves
+    prune + fixpoint. Oracle: 2 rounds unrolled as MATERIALIZED
+    CTEs."""
+    from kg_microbe_spark.operators.triangles import ktruss_prune
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 25).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    k5 = ms.filter((m / 5).cast("int") < m % 5).select(
+        F.concat(F.lit("f"), (m / 5).cast("int").cast("string")).alias("src"),
+        F.concat(F.lit("f"), (m % 5).cast("string")).alias("dst"),
+    )
+    tri = ms.filter(m < 3).select(
+        F.concat(F.lit("t"), m.cast("string")).alias("src"),
+        F.concat(F.lit("t"), ((m + 1) % 3).cast("string")).alias("dst"),
+    )
+    path = ms.filter(m < 2).select(
+        F.concat(F.lit("p"), m.cast("string")).alias("src"),
+        F.concat(F.lit("p"), (m + 1).cast("string")).alias("dst"),
+    )
+    bridge = ms.filter(m == 0).select(
+        F.lit("t0").alias("src"), F.lit("f0").alias("dst")
+    )
+    edges = k5.unionByName(tri).unionByName(path).unionByName(bridge)
+    return ktruss_prune(edges, "src", "dst", k=4, rounds=2)
+
+
+_KTRUSS_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 25 AS INT) AS m FROM documents),
+raw AS (
+  SELECT 'f' || CAST(m // 5 AS VARCHAR) AS s,
+         'f' || CAST(m % 5 AS VARCHAR) AS d
+  FROM ms WHERE m // 5 < m % 5
+  UNION ALL
+  SELECT 't' || CAST(m AS VARCHAR), 't' || CAST((m + 1) % 3 AS VARCHAR)
+  FROM ms WHERE m < 3
+  UNION ALL
+  SELECT 'p' || CAST(m AS VARCHAR), 'p' || CAST(m + 1 AS VARCHAR)
+  FROM ms WHERE m < 2
+  UNION ALL SELECT 't0', 'f0' FROM ms WHERE m = 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+),
+t1 AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s1 AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t1
+    UNION ALL SELECT x, z FROM t1
+    UNION ALL SELECT y, z FROM t1
+  ) GROUP BY a, b
+),
+e1r AS MATERIALIZED (
+  SELECT e0.a, e0.b FROM e0 JOIN s1 USING (a, b) WHERE s1.sup >= 2
+),
+t2 AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e1r e1 JOIN e1r e2 ON e2.a = e1.b
+  JOIN e1r e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s2 AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t2
+    UNION ALL SELECT x, z FROM t2
+    UNION ALL SELECT y, z FROM t2
+  ) GROUP BY a, b
+)
+SELECT e1r.a, e1r.b FROM e1r JOIN s2 USING (a, b) WHERE s2.sup >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -8515,6 +8689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_sum_events": q_decay_sum_events,
         "bcubed_eval": q_bcubed_eval,
         "profile_documents": q_profile_documents,
+        "scc_graph": q_scc_graph,
+        "ktruss_edges": q_ktruss_edges,
     }
 
 
@@ -8698,4 +8874,6 @@ e AS (
         "decay_sum_events": _DECAY_SUM_SQL,
         "bcubed_eval": _BCUBED_SQL,
         "profile_documents": _PROFILE_SQL,
+        "scc_graph": _SCC_SQL,
+        "ktruss_edges": _KTRUSS_SQL,
     }

@@ -128,3 +128,48 @@ def connected_components(
         .agg(F.min(F.coalesce("component", "node")).alias("component"))
     )
     return labels
+
+
+def scc_labels(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Strongly connected component labels on a DIRECTED graph — each
+    node labelled min(mutually-reachable set ∪ {self}) — the directed
+    complement of the alternating-star undirected components above
+    (web-graph link farms and redirect rings surface as non-trivial
+    SCCs; condensing them is the precondition for any DAG analytics
+    over the link graph).
+
+    Composition over the shipped depth-doubling
+    ``closure.transitive_closure`` (log₂-diameter shuffles — the
+    closure IS the cost; honest caveat: its pair frame grows with
+    reachability, the right tool up to the multi-million-node
+    condensation scale, not the full 100-TB edge list — condense
+    AFTER cutting to suspect subgraphs, e.g. hierarchy_cycle_nodes
+    output). Mutual pairs via one swapped self-semi-join, then the
+    label is ONE combinable min per node; singleton nodes keep their
+    own id via the union. Returns (id, scc) — scc equal iff same SCC.
+    """
+    from kg_microbe_spark.operators.closure import transitive_closure
+
+    as_spo = edges.select(
+        F.col(src_col).alias("subject"),
+        F.lit("e").alias("predicate"),
+        F.col(dst_col).alias("object"),
+    )
+    c = transitive_closure(as_spo, "e").select("subject", "object")
+    swapped = c.select(
+        F.col("object").alias("subject"), F.col("subject").alias("object")
+    )
+    mutual = c.join(swapped, ["subject", "object"], "left_semi")
+    nodes = (
+        edges.select(F.col(src_col).alias("id"))
+        .unionByName(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    # every node is mutually reachable with itself; cycle partners lower
+    # the min when they precede the node in id order
+    cand = mutual.select(
+        F.col("subject").alias("id"), F.col("object").alias("scc")
+    ).unionByName(nodes.select("id", F.col("id").alias("scc")))
+    return cand.groupBy("id").agg(F.min("scc").alias("scc"))

@@ -119,3 +119,69 @@ def local_clustering(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
             .alias("coefficient"),
         )
     )
+
+
+def edge_triangle_support(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Triangle support per undirected edge — the number of triangles
+    each edge participates in; the edge-level density signal k-truss
+    is built on. Same compact-forward enumeration; each triangle row
+    contributes its THREE edges via an in-row explode of canonical
+    (least, greatest) pairs, then ONE combinable count. Edges in no
+    triangle report support 0 (left join against the simple-graph
+    edge list). Returns (a, b, support) with a < b."""
+    und = _undirected(edges, src_col, dst_col)
+    tri = _triangle_rows(und, _degrees(und))
+    pair = lambda p, q: F.struct(  # noqa: E731
+        F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("u"), F.col("x")),
+                    pair(F.col("u"), F.col("y")),
+                    pair(F.col("x"), F.col("y")),
+                )
+            ).alias("_e")
+        )
+        .groupBy(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return und.select("a", "b").join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def ktruss_prune(
+    edges: DataFrame, src_col: str, dst_col: str, k: int, rounds: int = 3
+) -> DataFrame:
+    """Bounded-round k-truss: iteratively drop edges with triangle
+    support < k−2 (Cohen 2008) — the edge-level analog of
+    ``kcore.kcore``'s node pruning, and a stronger community-core
+    filter (a k-core can be triangle-free; a k-truss cannot). Spam
+    rings and template link farms survive k-core but fall out of the
+    truss.
+
+    Each round re-enumerates triangles on the SURVIVING edges (the
+    compact-forward bound applies per round) and prunes once;
+    ``rounds`` is explicit so the plan is deterministic and
+    resume-safe — like ``kcore``/``shortest_paths``, callers pick the
+    depth, a fixpoint needs support ≥ k−2 everywhere (idempotent once
+    converged). ``localCheckpoint`` cuts lineage per round. Returns
+    the surviving canonical edges (a, b).
+    """
+    if k < 3:
+        raise ValueError(f"k must be ≥ 3 for a meaningful truss, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be ≥ 1, got {rounds}")
+    cur = _undirected(edges, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        sup = edge_triangle_support(cur, "a", "b")
+        cur = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return cur
