@@ -3812,6 +3812,11 @@ def q_stream_stream_join(spark, sf_dir):
             key="user_id",
             lookback_seconds=14400,
             select_cols=["l_user_id", "l_event_id", "r_event_id"],
+            # availableNow replays the backlog in arbitrary file order, so
+            # the watermark must exceed the WHOLE fixture span (30 days) —
+            # a racing side would otherwise evict/reject the slower side's
+            # older rows and silently drop matches vs the batch oracle
+            watermark="35 days",
         )
         q.awaitTermination()
         out = spark.read.parquet(sink).select(
@@ -8284,8 +8289,7 @@ def q_scc_graph(spark, sf_dir):
     return scc_labels(edges, "src", "dst")
 
 
-_SCC_SQL = """
-WITH RECURSIVE ms AS (
+_SCC_CTES = """ms AS (
   SELECT DISTINCT CAST(doc_id % 60 AS INT) AS m FROM documents
 ),
 e AS (
@@ -8316,8 +8320,12 @@ cand AS (
   SELECT s AS id, o AS scc FROM mutual
   UNION ALL
   SELECT id, id FROM nodes
-)
-SELECT id, MIN(scc) AS scc FROM cand GROUP BY id
+),
+sccl AS (SELECT id, MIN(scc) AS scc FROM cand GROUP BY id)"""
+
+_SCC_SQL = f"""
+WITH RECURSIVE {_SCC_CTES}
+SELECT id, scc FROM sccl
 """
 
 
@@ -8404,6 +8412,257 @@ s2 AS (
   ) GROUP BY a, b
 )
 SELECT e1r.a, e1r.b FROM e1r JOIN s2 USING (a, b) WHERE s2.sup >= 2
+"""
+
+
+def q_condense_scc(spark, sf_dir):
+    """Graph condensation over SCC labels — executes the SHIPPED
+    ``scc_labels`` THEN ``condense_graph`` (operators/components.py:
+    two fact-side label joins + ONE combinable count, intra-label
+    edges dropped — the DAG link-graph analytics actually run on).
+    Same directed fixture as scc_graph, so the 4-cycle and the x⇄y
+    pair collapse to super-nodes and chain edges keep multiplicity.
+    Oracle: the shared recursive-closure SCC CTEs + the condensation
+    replay."""
+    from kg_microbe_spark.operators.components import (
+        condense_graph,
+        scc_labels,
+    )
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    nm = F.concat(F.lit("n"), m.cast("string"))
+    edges = (
+        ms.filter(m % 10 != 9)
+        .select(
+            nm.alias("src"),
+            F.concat(F.lit("n"), (m + 1).cast("string")).alias("dst"),
+        )
+        .unionByName(
+            ms.filter(m < 8).select(
+                F.concat(F.lit("c"), (m % 4).cast("string")).alias("src"),
+                F.concat(F.lit("c"), ((m + 1) % 4).cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("x").alias("src"), F.lit("y").alias("dst")
+            )
+        )
+        .unionByName(
+            ms.filter(m == 1).select(
+                F.lit("y").alias("src"), F.lit("x").alias("dst")
+            )
+        )
+        .unionByName(
+            ms.filter(m == 0).select(
+                F.lit("t").alias("src"), F.lit("c0").alias("dst")
+            )
+        )
+    )
+    labels = scc_labels(edges, "src", "dst").select(
+        "id", F.col("scc").alias("label")
+    )
+    return condense_graph(edges, labels)
+
+
+_CONDENSE_SQL = f"""
+WITH RECURSIVE {_SCC_CTES},
+raw AS (
+  SELECT 'n' || CAST(m AS VARCHAR) AS s, 'n' || CAST(m + 1 AS VARCHAR) AS d
+  FROM ms WHERE m % 10 <> 9
+  UNION ALL
+  SELECT 'c' || CAST(m % 4 AS VARCHAR), 'c' || CAST((m + 1) % 4 AS VARCHAR)
+  FROM ms WHERE m < 8
+  UNION ALL SELECT 'x', 'y' FROM ms WHERE m = 0
+  UNION ALL SELECT 'y', 'x' FROM ms WHERE m = 1
+  UNION ALL SELECT 't', 'c0' FROM ms WHERE m = 0
+)
+SELECT ls.scc AS src_label, ld.scc AS dst_label, COUNT(*) AS n_edges
+FROM raw
+JOIN sccl ls ON ls.id = raw.s
+JOIN sccl ld ON ld.id = raw.d
+WHERE ls.scc <> ld.scc
+GROUP BY ls.scc, ld.scc
+"""
+
+
+def q_kappa_labels(spark, sf_dir):
+    """Cohen's κ annotator agreement — executes the SHIPPED
+    ``cohens_kappa`` (operators/evaluation.py: EXACT BIGINT
+    κ = (agree·n − Σ na·nb)/(n² − Σ na·nb), three combinable counts +
+    a label-vocabulary-bounded marginal join, one division). Fixture:
+    two mod-4 annotators over 97 items disagreeing on every 5th, one
+    id labelled by a single annotator (inner-join universe). Oracle:
+    the identical integer replay."""
+    from kg_microbe_spark.operators.evaluation import cohens_kappa
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 98).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    a = ms.select(
+        m.alias("id"),
+        F.concat(F.lit("l"), ((m * 3) % 4).cast("string")).alias("label"),
+    )
+    b = ms.filter(m < 97).select(
+        m.alias("id"),
+        F.concat(
+            F.lit("l"),
+            ((m * 3 + (m % 5 == 0).cast("int")) % 4).cast("string"),
+        ).alias("label"),
+    )
+    return cohens_kappa(a, b)
+
+
+_KAPPA_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 98 AS INT) AS m FROM documents),
+a AS (
+  SELECT m AS id, 'l' || CAST((m * 3) % 4 AS VARCHAR) AS la FROM ms
+),
+b AS (
+  SELECT m AS id,
+         'l' || CAST((m * 3 + CASE WHEN m % 5 = 0 THEN 1 ELSE 0 END) % 4
+                     AS VARCHAR) AS lb
+  FROM ms WHERE m < 97
+),
+j AS (SELECT a.id, a.la, b.lb FROM a JOIN b ON b.id = a.id),
+base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j
+),
+ma AS (SELECT la AS l, COUNT(*) AS na FROM j GROUP BY la),
+mb AS (SELECT lb AS l, COUNT(*) AS nb FROM j GROUP BY lb),
+pe AS (
+  SELECT CAST(COALESCE(SUM(ma.na * mb.nb), 0) AS BIGINT) AS pe_s
+  FROM ma JOIN mb ON mb.l = ma.l
+)
+SELECT n AS n_items,
+       ROUND(agree / CAST(n AS DOUBLE), 6) AS observed_agreement,
+       ROUND(pe_s / CAST(n * n AS DOUBLE), 6) AS expected_agreement,
+       ROUND((agree * n - pe_s) / CAST(n * n - pe_s AS DOUBLE), 6) AS kappa
+FROM base CROSS JOIN pe
+"""
+
+
+def q_purity_eval(spark, sf_dir):
+    """Cluster purity / inverse purity — executes the SHIPPED
+    ``cluster_purity`` (operators/evaluation.py: exact BIGINT sums of
+    per-group maxima over ONE combinable overlap count — never a
+    per-item pass; the blunt companion reported beside B³). Fixture:
+    mod-7 clusters vs a gold labelling skewed to class c0 above m≥40
+    (non-uniform maxima on both axes). Oracle: identical max/sum
+    replay."""
+    from kg_microbe_spark.operators.evaluation import cluster_purity
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 70).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    pred = ms.select(
+        m.alias("id"),
+        F.concat(F.lit("k"), (m % 7).cast("string")).alias("cluster"),
+    )
+    gold = ms.select(
+        m.alias("id"),
+        F.concat(
+            F.lit("c"),
+            F.when(m < 40, m % 5).otherwise(F.lit(0)).cast("string"),
+        ).alias("class_"),
+    )
+    return cluster_purity(pred, gold)
+
+
+_PURITY_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 70 AS INT) AS m FROM documents),
+j AS (
+  SELECT m AS id, 'k' || CAST(m % 7 AS VARCHAR) AS cluster,
+         'c' || CAST(CASE WHEN m < 40 THEN m % 5 ELSE 0 END AS VARCHAR) AS cls
+  FROM ms
+),
+ov AS (SELECT cluster, cls, COUNT(*) AS n FROM j GROUP BY cluster, cls),
+pur AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS p_s
+  FROM (SELECT MAX(n) AS m FROM ov GROUP BY cluster)
+),
+inv AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS i_s
+  FROM (SELECT MAX(n) AS m FROM ov GROUP BY cls)
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items FROM ov)
+SELECT n_items,
+       ROUND(p_s / CAST(n_items AS DOUBLE), 6) AS purity,
+       ROUND(i_s / CAST(n_items AS DOUBLE), 6) AS inverse_purity,
+       ROUND(2 * (p_s / CAST(n_items AS DOUBLE))
+               * (i_s / CAST(n_items AS DOUBLE))
+             / (p_s / CAST(n_items AS DOUBLE)
+                + i_s / CAST(n_items AS DOUBLE)), 6) AS f1
+FROM tot CROSS JOIN pur CROSS JOIN inv
+"""
+
+
+def q_rbm_alignment(spark, sf_dir):
+    """Reciprocal best match — executes the SHIPPED
+    ``reciprocal_best_match`` (operators/alignment.py: TWO A2 min_by
+    argmaxes — never a window over the candidate table — + one
+    winner-frame semi-join; the mutual-argmax precision filter after
+    candidate generation). Fixture: 12×9 CRT candidate lattice with
+    modular integer scores (asymmetric preferences + ties). Oracle:
+    two ROW_NUMBER argmax replays with the identical (score desc,
+    partner asc) order."""
+    from kg_microbe_spark.operators.alignment import reciprocal_best_match
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 108).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    cand = ms.select(
+        F.concat(F.lit("l"), (m % 12).cast("string")).alias("l"),
+        F.concat(F.lit("r"), (m % 9).cast("string")).alias("r"),
+        ((m * 13) % 41).cast("double").alias("score"),
+    )
+    return reciprocal_best_match(cand, "l", "r", "score")
+
+
+_RBM_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 108 AS INT) AS m FROM documents),
+cand AS (
+  SELECT 'l' || CAST(m % 12 AS VARCHAR) AS l,
+         'r' || CAST(m % 9 AS VARCHAR) AS r,
+         CAST((m * 13) % 41 AS DOUBLE) AS score
+  FROM ms
+),
+br AS (
+  SELECT l, r, score FROM (
+    SELECT l, r, score,
+           ROW_NUMBER() OVER (PARTITION BY l
+                              ORDER BY score DESC, r ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+bl AS (
+  SELECT l, r FROM (
+    SELECT l, r,
+           ROW_NUMBER() OVER (PARTITION BY r
+                              ORDER BY score DESC, l ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT br.l, br.r, br.score
+FROM br JOIN bl ON bl.l = br.l AND bl.r = br.r
 """
 
 
@@ -8691,6 +8950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "scc_graph": q_scc_graph,
         "ktruss_edges": q_ktruss_edges,
+        "condense_scc": q_condense_scc,
+        "kappa_labels": q_kappa_labels,
+        "purity_eval": q_purity_eval,
+        "rbm_alignment": q_rbm_alignment,
     }
 
 
@@ -8876,4 +9139,8 @@ e AS (
         "profile_documents": _PROFILE_SQL,
         "scc_graph": _SCC_SQL,
         "ktruss_edges": _KTRUSS_SQL,
+        "condense_scc": _CONDENSE_SQL,
+        "kappa_labels": _KAPPA_SQL,
+        "purity_eval": _PURITY_SQL,
+        "rbm_alignment": _RBM_SQL,
     }

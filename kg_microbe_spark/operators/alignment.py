@@ -110,3 +110,51 @@ def align_lexicons(
             how="left_anti",
         )
     return scored
+
+
+def reciprocal_best_match(
+    scores: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Reciprocal best match over a scored candidate table — keep
+    (l, r) only when r is l's best right AND l is r's best left; the
+    mutual-argmax filter that turns a noisy similarity table into
+    high-precision 1:1 alignments (ortholog-style RBM; the precision
+    step after :func:`align_lexicons`' candidate generation).
+
+    Both argmaxes are the A2 skew-absorbing ``min_by`` struct form
+    (ties break to the smaller partner id, fully deterministic) — two
+    combinable aggregations + one equi-join of the two winner frames
+    on the agreeing pair. Never a window over the full candidate
+    table. Returns (``left_col``, ``right_col``, ``score_col``) for
+    mutual pairs only.
+    """
+    s = scores.select(
+        F.col(left_col).alias("_l"),
+        F.col(right_col).alias("_r"),
+        F.col(score_col).alias("_sc"),
+    )
+    best_r = s.groupBy("_l").agg(
+        F.min(
+            F.struct(
+                (-F.col("_sc")).alias("_ns"),
+                F.col("_r").alias("r"),
+                F.col("_sc").alias("sc"),
+            )
+        ).alias("_w")
+    ).select("_l", F.col("_w.r").alias("_r"), F.col("_w.sc").alias("_sc"))
+    best_l = s.groupBy("_r").agg(
+        F.min(
+            F.struct((-F.col("_sc")).alias("_ns"), F.col("_l").alias("l"))
+        ).alias("_w")
+    ).select(F.col("_w.l").alias("_l"), "_r")
+    return (
+        best_r.join(best_l, ["_l", "_r"], "left_semi")
+        .select(
+            F.col("_l").alias(left_col),
+            F.col("_r").alias(right_col),
+            F.col("_sc").alias(score_col),
+        )
+    )

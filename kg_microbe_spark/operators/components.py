@@ -173,3 +173,38 @@ def scc_labels(
         F.col("subject").alias("id"), F.col("object").alias("scc")
     ).unionByName(nodes.select("id", F.col("id").alias("scc")))
     return cand.groupBy("id").agg(F.min("scc").alias("scc"))
+
+
+def condense_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Condensation: collapse a node partition (SCC labels from
+    :func:`scc_labels`, communities, dedup clusters — any (id, label)
+    frame) into a weighted super-graph — (src_label, dst_label,
+    n_edges) with intra-label edges dropped. The DAG this yields from
+    SCC labels is what link-graph analytics (topological layers,
+    reachability) actually run on.
+
+    Two fact-side equi-joins on the merge key + ONE combinable count —
+    a hub label pair's million parallel edges collapse map-side.
+    Edges with an unlabelled endpoint drop (inner joins): the same
+    evaluable-universe rule as modularity/louvain. Directed in,
+    directed out; distinct multi-edges are NOT pre-deduped (the count
+    is edge multiplicity — dedupe upstream if unwanted).
+    """
+    lab = labels.select("id", "label") if "label" in labels.columns else (
+        labels.select(F.col(labels.columns[0]).alias("id"),
+                      F.col(labels.columns[1]).alias("label"))
+    )
+    out = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .join(lab.select(F.col("id").alias("_s"), F.col("label").alias("src_label")), "_s")
+        .join(lab.select(F.col("id").alias("_d"), F.col("label").alias("dst_label")), "_d")
+        .filter(F.col("src_label") != F.col("dst_label"))
+        .groupBy("src_label", "dst_label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return out

@@ -178,3 +178,91 @@ def bcubed_scores(
         F.round(r, 6).alias("recall"),
         F.round((2 * p * r) / (p + r), 6).alias("f1"),
     )
+
+
+def cohens_kappa(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's κ between two annotators / classifier runs over the
+    same items — the chance-corrected agreement gate a KG curation
+    loop runs before trusting a label source (Cohen 1960).
+
+    EXACT integer arithmetic end-to-end: with n items, agree matches,
+    and per-label marginals na_l/nb_l,
+    κ = (agree·n − Σ na_l·nb_l) / (n² − Σ na_l·nb_l) — both sides
+    BIGINT, one division at the end. Three combinable aggregations
+    (agreement count, two marginal counts) + a label-keyed marginal
+    join bounded by the label vocabulary; items present in only one
+    frame drop (inner join). Returns 1 row
+    (n_items, observed_agreement, expected_agreement, kappa), 6 dp.
+    """
+    pa = a.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_la"))
+    pb = b.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lb"))
+    j = pa.join(pb, "_id")
+    base = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long")).alias("agree"),
+    )
+    ma = j.groupBy(F.col("_la").alias("_l")).agg(F.count(F.lit(1)).alias("na"))
+    mb = j.groupBy(F.col("_lb").alias("_l")).agg(F.count(F.lit(1)).alias("nb"))
+    pe_sum = (
+        ma.join(mb, "_l")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("pe_s"))
+    )
+    out = base.join(F.broadcast(pe_sum))
+    n = F.col("n")
+    return out.select(
+        n.alias("n_items"),
+        F.round(F.col("agree") / n, 6).alias("observed_agreement"),
+        F.round(F.col("pe_s") / (n * n), 6).alias("expected_agreement"),
+        F.round(
+            (F.col("agree") * n - F.col("pe_s"))
+            / (n * n - F.col("pe_s")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def cluster_purity(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    class_col: str = "class_",
+) -> DataFrame:
+    """Purity and inverse purity of a clustering vs gold classes —
+    the blunt companion to :func:`bcubed_scores` (purity alone
+    over-rewards shattering; reporting both with B³ is the standard
+    ER evaluation triple).
+
+    purity = Σ_k max_c n_kc / N (each cluster votes its majority
+    class), inverse = Σ_c max_k n_kc / N. Both are exact BIGINT sums
+    of per-group maxima — one combinable overlap count + two
+    combinable max-aggregations, never a per-item pass. Returns 1 row
+    (n_items, purity, inverse_purity, f1), 6 dp; items in one frame
+    only drop.
+    """
+    j = predicted.select(id_col, cluster_col).join(
+        gold.select(id_col, class_col), id_col
+    )
+    ov = j.groupBy(cluster_col, class_col).agg(F.count(F.lit(1)).alias("n"))
+    pur = ov.groupBy(cluster_col).agg(F.max("n").alias("m")).agg(
+        F.sum("m").alias("p_s")
+    )
+    inv = ov.groupBy(class_col).agg(F.max("n").alias("m")).agg(
+        F.sum("m").alias("i_s")
+    )
+    tot = ov.agg(F.sum("n").alias("n_items"))
+    out = tot.join(F.broadcast(pur)).join(F.broadcast(inv))
+    n = F.col("n_items")
+    p = F.col("p_s") / n
+    r = F.col("i_s") / n
+    return out.select(
+        "n_items",
+        F.round(p, 6).alias("purity"),
+        F.round(r, 6).alias("inverse_purity"),
+        F.round((2 * p * r) / (p + r), 6).alias("f1"),
+    )

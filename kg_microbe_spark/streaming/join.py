@@ -64,10 +64,19 @@ def run_stream_join(
     lookback_seconds: int = 300,
     select_cols=None,
     max_files_per_trigger: int = 2,
+    watermark: str = "10 minutes",
 ) -> StreamingQuery:
     """Join two parquet file-source streams with :func:`stream_time_join`
     and write the matches to an exactly-once checkpointed parquet sink,
-    draining all available input (availableNow)."""
+    draining all available input (availableNow).
+
+    ``watermark`` must exceed the event-time DISORDER the sources can
+    exhibit. With availableNow file sources that disorder is the whole
+    backlog's time span (files replay in arbitrary order, so one side
+    can race its max event time past the other side's oldest unread
+    row, and rows older than watermark are dropped from the join
+    state) — size it to the backlog span for drain-the-directory runs,
+    and to the real arrival skew for continuous ones."""
     l = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -78,7 +87,9 @@ def run_stream_join(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(right_dir)
     )
-    joined = stream_time_join(l, r, key, lookback_seconds=lookback_seconds)
+    joined = stream_time_join(
+        l, r, key, lookback_seconds=lookback_seconds, watermark=watermark
+    )
     if select_cols:
         joined = joined.select(*select_cols)
     return (

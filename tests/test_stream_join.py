@@ -55,6 +55,10 @@ def test_stream_join_matches_batch(spark):
             lookback_seconds=300,
             select_cols=["l_user_id", "l_event_id", "r_event_id"],
             max_files_per_trigger=1,
+            # the fixture spans ~56 min and availableNow replays files in
+            # arbitrary order — the watermark must exceed the backlog span
+            # or a racing side can evict/reject the other's older rows
+            watermark="2 hours",
         )
         q.awaitTermination()
         got = {
