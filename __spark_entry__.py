@@ -8666,6 +8666,583 @@ FROM br JOIN bl ON bl.l = br.l AND bl.r = br.r
 """
 
 
+def q_burst_zscores(spark, sf_dir):
+    """Per-key activity-burst z-scores — executes the SHIPPED
+    ``burst_zscores`` (operators/temporal.py: exact integer-µs bucket
+    index in-row, combinable (key,bucket) counts, combinable per-key
+    BIGINT moments (m, Σc, Σc²), one key-keyed join-back, fixed float
+    z dataflow). REAL events table, 6-hour buckets. Oracle replays the
+    identical epoch_us/floor bucketing and the identical mean/variance
+    expression order."""
+    from kg_microbe_spark.operators.temporal import burst_zscores
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_zscores(ev, "user_id", "ts", bucket_seconds=21600)
+
+
+_BURST_SQL = """
+WITH pb AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+mo AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM pb GROUP BY 1
+)
+SELECT user_id, bucket, n_events,
+       CASE WHEN m > 1
+                 AND s2 / m - (s1 / m) * (s1 / m) > 0
+            THEN ROUND((n_events - s1 / m)
+                       / sqrt(s2 / m - (s1 / m) * (s1 / m)), 6) + 0e0
+            ELSE 0e0 END AS zscore
+FROM pb JOIN mo USING (user_id)
+"""
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Per-node link reciprocity — executes the SHIPPED
+    ``link_reciprocity`` (operators/linkgraph.py: ONE self semi-join
+    of the distinct edge set against its swapped projection; out/in/
+    reciprocal counts all combinable; node-keyed outer-join merge).
+    Fixture: ring edges d_m→d_{m+1} (mod 13) plus the reverse edge for
+    every 4th seed — partial reciprocity so all three count columns
+    are non-trivial and the no-outgoing branch is real."""
+    from kg_microbe_spark.operators.linkgraph import link_reciprocity
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 120).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fwd = ms.select(
+        F.concat(F.lit("d"), (m % 13).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((m + 1) % 13).cast("string")).alias("dst"),
+    )
+    rev = ms.filter(m % 4 == 0).select(
+        F.concat(F.lit("d"), ((m + 1) % 13).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (m % 13).cast("string")).alias("dst"),
+    )
+    return link_reciprocity(fwd.unionByName(rev), "src", "dst")
+
+
+_RECIP_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 120 AS INT) AS m FROM documents),
+raw AS (
+  SELECT 'd' || CAST(m % 13 AS VARCHAR) AS s,
+         'd' || CAST((m + 1) % 13 AS VARCHAR) AS d FROM ms
+  UNION ALL
+  SELECT 'd' || CAST((m + 1) % 13 AS VARCHAR),
+         'd' || CAST(m % 13 AS VARCHAR) FROM ms WHERE m % 4 = 0
+),
+e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+recip AS (
+  SELECT e.s, e.d FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)
+),
+outd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY s),
+ind AS (SELECT d AS s, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY d),
+rc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM recip GROUP BY s)
+SELECT COALESCE(outd.s, ind.s) AS node,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(n_reciprocal, 0) AS n_reciprocal,
+       CASE WHEN COALESCE(out_deg, 0) > 0
+            THEN ROUND(COALESCE(n_reciprocal, 0)
+                       / CAST(out_deg AS DOUBLE), 6) + 0e0
+            ELSE 0e0 END AS reciprocity
+FROM outd FULL OUTER JOIN ind ON outd.s = ind.s
+LEFT JOIN rc ON COALESCE(outd.s, ind.s) = rc.s
+"""
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-capped crawl scheduling — executes the SHIPPED
+    ``crawl_frontier_schedule`` (operators/linkgraph.py: ONE window
+    partitioned by host, deterministic (priority DESC, url) order,
+    integer rank → fetch_round = ceil(rank/slots)). Fixture: 150 urls
+    over 7 hosts with modular priorities; slots_per_round = 3."""
+    from kg_microbe_spark.operators.linkgraph import crawl_frontier_schedule
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 150).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    urls = ms.select(
+        F.concat(F.lit("u"), m.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (m % 7).cast("string")).alias("host"),
+        ((m * 11) % 31).alias("priority"),
+    )
+    return crawl_frontier_schedule(urls, "url", "host", "priority", 3)
+
+
+_FRONTIER_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 150 AS INT) AS m FROM documents),
+urls AS (
+  SELECT 'u' || CAST(m AS VARCHAR) AS url,
+         'h' || CAST(m % 7 AS VARCHAR) AS host,
+         (m * 11) % 31 AS priority
+  FROM ms
+),
+rk AS (
+  SELECT url, host,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) AS rank_in_host
+  FROM urls
+)
+SELECT url, host, CAST(rank_in_host AS INT) AS rank_in_host,
+       CAST(FLOOR((rank_in_host + 2) / 3) AS BIGINT) AS fetch_round
+FROM rk
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """K-Minimum-Values cardinality sketch — executes the SHIPPED
+    ``kmv_distinct`` (operators/stats.py: map-side (key,value)
+    distinct, ONE host-keyed rank-k window over the portable
+    md5-60-bit hash, exact count below capacity). Fixture: 5 keys ×
+    80 distinct values each with k=16, so every key takes the
+    ESTIMATE branch; the oracle replays the identical hash and
+    (k−1)·2⁶⁰/h_k expression."""
+    from kg_microbe_spark.operators.stats import kmv_distinct
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 400).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        F.concat(F.lit("g"), (m % 5).cast("string")).alias("grp"),
+        F.concat(F.lit("v"), (m % 97).cast("string")).alias("val"),
+    )
+    return kmv_distinct(fx, "grp", "val", k=16)
+
+
+_KMV_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 400 AS INT) AS m FROM documents),
+fx AS (
+  SELECT DISTINCT 'g' || CAST(m % 5 AS VARCHAR) AS grp,
+                  'v' || CAST(m % 97 AS VARCHAR) AS val
+  FROM ms
+),
+hv AS (
+  SELECT grp, val,
+         CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) AS h
+  FROM fx
+),
+rk AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h ASC, val ASC) AS rk
+  FROM hv
+),
+top AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(MAX(h) AS BIGINT) AS hk
+  FROM rk WHERE rk <= 16 GROUP BY grp
+)
+SELECT grp, n_kept,
+       CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+            ELSE ROUND(15e0 * 1152921504606846976e0 / hk, 6) + 0e0
+            END AS est_distinct
+FROM top
+"""
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """k-means assignment step — executes the SHIPPED ``kmeans_assign``
+    (operators/similarity.py: k centroids broadcast, per-element
+    floor(1e9·(xᵢ−cᵢ)²) BIGINT distances summed addition-order-exact
+    in-row, argmin as a combinable min-struct aggregation that
+    collapses the k-fold blow-up map-side). REAL embeddings table;
+    centroids = the 8 smallest vec_ids. Oracle replays the identical
+    per-element floor arithmetic via unnest/generate_subscripts."""
+    from kg_microbe_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return kmeans_assign(emb, "vec_id", "embedding", cents, "cid", "cvec")
+
+
+_KMEANS_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cx AS (
+  SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 8
+),
+d2 AS (
+  SELECT ex.vec_id, cx.cid,
+         CAST(SUM(CAST(FLOOR(1000000000e0 * (ex.x - cx.x) * (ex.x - cx.x))
+                       AS BIGINT)) AS BIGINT) AS dist2_int
+  FROM ex JOIN cx ON ex.i = cx.i
+  GROUP BY ex.vec_id, cx.cid
+),
+win AS (
+  SELECT vec_id, cid, dist2_int,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2_int ASC, cid ASC) AS rk
+  FROM d2
+)
+SELECT vec_id, cid AS cluster_id, dist2_int FROM win WHERE rk = 1
+"""
+
+
+def q_llr_bigrams(spark, sf_dir):
+    """Dunning LLR collocations — executes the SHIPPED ``llr_bigrams``
+    (operators/collocations.py: one combinable bigram groupBy, row/col
+    marginals re-aggregated from THAT frame, N broadcast; every 2×2
+    cell exact BIGINT, ln on integer-valued doubles only). Fixture:
+    4-token docs over a constructed a/b alternating vocab (FIXTURES.md:
+    the raw corpus is 31-token degenerate) so bigram counts spread and
+    min_count=2 actually filters. Oracle constructs the three bigrams
+    per doc arithmetically and replays the identical xlogx dataflow
+    in the same addition order."""
+    from kg_microbe_spark.operators.collocations import llr_bigrams
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 80).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        F.concat(
+            F.lit("a"), (m % 7).cast("string"),
+            F.lit(" b"), (m % 11).cast("string"),
+            F.lit(" a"), ((m + 1) % 7).cast("string"),
+            F.lit(" b"), ((m + 1) % 11).cast("string"),
+        ).alias("text")
+    )
+    return llr_bigrams(fx, "text", min_count=2)
+
+
+_LLR_XLOGX = "(CASE WHEN {k} > 0 THEN ({k}) * ln(CAST({k} AS DOUBLE)) ELSE 0e0 END)"
+
+
+def _llr_sql() -> str:
+    x = _LLR_XLOGX.format
+    return f"""
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 80 AS INT) AS m FROM documents),
+bg AS (
+  SELECT 'a' || CAST(m % 7 AS VARCHAR) AS w1,
+         'b' || CAST(m % 11 AS VARCHAR) AS w2 FROM ms
+  UNION ALL
+  SELECT 'b' || CAST(m % 11 AS VARCHAR),
+         'a' || CAST((m + 1) % 7 AS VARCHAR) FROM ms
+  UNION ALL
+  SELECT 'a' || CAST((m + 1) % 7 AS VARCHAR),
+         'b' || CAST((m + 1) % 11 AS VARCHAR) FROM ms
+),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2),
+r AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS _r FROM big GROUP BY w1),
+c AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS _c FROM big GROUP BY w2),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS _n FROM big)
+SELECT w1, w2, n,
+       ROUND(2e0 * ({x(k='n')} + {x(k='_r - n')} + {x(k='_c - n')}
+             + {x(k='_n - _r - (_c - n)')}
+             - {x(k='_r')} - {x(k='_n - _r')}
+             - {x(k='_c')} - {x(k='_n - _c')}
+             + {x(k='_n')}), 6) + 0e0 AS llr
+FROM big JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN t
+WHERE n >= 2
+"""
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram smoothing — executes the SHIPPED
+    ``kneser_ney_bigram`` (operators/lm_quality.py: one bigram count
+    pass; c(v·)/N1+(v·)/N1+(·w) are combinable re-aggregations of that
+    frame; N1+(··) broadcast; D=0.75 exactly binary so the probability
+    dataflow is a fixed IEEE composition). Fixture: 4-token u/v
+    alternating docs over 100 seeds. Oracle replays the identical
+    expression in the identical operation order."""
+    from kg_microbe_spark.operators.lm_quality import kneser_ney_bigram
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        F.concat(
+            F.lit("u"), (m % 5).cast("string"),
+            F.lit(" v"), (m % 13).cast("string"),
+            F.lit(" u"), ((m + 2) % 5).cast("string"),
+            F.lit(" v"), ((m + 3) % 13).cast("string"),
+        ).alias("text")
+    )
+    return kneser_ney_bigram(fx, "text", discount=0.75)
+
+
+_KN_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 100 AS INT) AS m FROM documents),
+bg AS (
+  SELECT 'u' || CAST(m % 5 AS VARCHAR) AS w1,
+         'v' || CAST(m % 13 AS VARCHAR) AS w2 FROM ms
+  UNION ALL
+  SELECT 'v' || CAST(m % 13 AS VARCHAR),
+         'u' || CAST((m + 2) % 5 AS VARCHAR) FROM ms
+  UNION ALL
+  SELECT 'u' || CAST((m + 2) % 5 AS VARCHAR),
+         'v' || CAST((m + 3) % 13 AS VARCHAR) FROM ms
+),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS _cv,
+               CAST(COUNT(*) AS BIGINT) AS _n1v
+        FROM big GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS _n1w FROM big GROUP BY w2),
+ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS _bt FROM big)
+SELECT w1, w2, n,
+       ROUND(greatest(n - 0.75e0, 0e0) / _cv
+             + (0.75e0 * _n1v / _cv) * (_n1w / CAST(_bt AS DOUBLE)),
+             6) + 0e0 AS p_kn
+FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-corpus n-gram novelty — executes the SHIPPED
+    ``ngram_novelty`` (operators/dedup.py: per-doc distinct grams via
+    explode+distinct, combinable gram document-frequency, one
+    fact-sized join-back on the gram key). Fixture: 29 five-token
+    sliding-window docs over a 31-token vocab — interior trigrams land
+    in 3 docs, edge trigrams in 1–2, so both the dup and novel
+    branches carry rows. Oracle constructs each doc's three trigrams
+    arithmetically."""
+    from kg_microbe_spark.operators.dedup import ngram_novelty
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 29).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        m.alias("doc_id"),
+        F.concat(
+            F.lit("w"), (m % 31).cast("string"),
+            F.lit(" w"), ((m + 1) % 31).cast("string"),
+            F.lit(" w"), ((m + 2) % 31).cast("string"),
+            F.lit(" w"), ((m + 3) % 31).cast("string"),
+            F.lit(" w"), ((m + 4) % 31).cast("string"),
+        ).alias("text"),
+    )
+    return ngram_novelty(fx, "doc_id", "text", n=3)
+
+
+_NOVELTY_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 29 AS INT) AS m FROM documents),
+grams AS (
+  SELECT DISTINCT m AS doc_id,
+         'w' || CAST((m + j) % 31 AS VARCHAR) ||
+         ' w' || CAST((m + j + 1) % 31 AS VARCHAR) ||
+         ' w' || CAST((m + j + 2) % 31 AS VARCHAR) AS g
+  FROM ms CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM grams JOIN dfq USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup,
+       ROUND(1e0 - n_dup / CAST(n_grams AS DOUBLE), 6) + 0e0 AS novelty
+FROM pd
+"""
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC AUC — executes the SHIPPED ``roc_auc``
+    (operators/evaluation.py: Mann-Whitney rank-sum in the
+    score-HISTOGRAM form — the fact table collapses to one row per
+    distinct score via a combinable groupBy, the ordered cumulative
+    pass touches only that bounded histogram, and the doubled
+    concordant+tied numerator stays an exact BIGINT). Fixture: 211
+    synthetic classifier rows with integer scores (m·37 mod 97 — ties
+    guaranteed) and a noisily score-correlated binary label, so AUC is
+    strictly between ½ and 1 and the tie branch is exercised."""
+    from kg_microbe_spark.operators.evaluation import roc_auc
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 211).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    scored = ms.select(
+        ((m * 37) % 97).alias("s"),
+        ((((m * 37) % 97) * 2 + (m * 53) % 61) > 120).cast("int").alias("y"),
+    )
+    return roc_auc(scored, "y", "s")
+
+
+_ROC_AUC_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 211 AS INT) AS m FROM documents),
+sc AS (
+  SELECT (m * 37) % 97 AS s,
+         CASE WHEN ((m * 37) % 97) * 2 + (m * 53) % 61 > 120
+              THEN 1 ELSE 0 END AS y
+  FROM ms
+),
+hist AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM sc GROUP BY s
+),
+cum AS (
+  SELECT s, pos, neg,
+         COALESCE(CAST(SUM(neg) OVER (
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_numer_x2
+  FROM cum
+)
+SELECT n_pos, n_neg, auc_numer_x2,
+       CASE WHEN 2 * n_pos * n_neg > 0
+            THEN ROUND(auc_numer_x2 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) + 0e0
+            ELSE 0e0 END AS auc
+FROM agg
+"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Directed degree assortativity — executes the SHIPPED
+    ``degree_assortativity`` (operators/stats.py: two combinable
+    degree counts joined back to the distinct edge set, all five
+    Pearson moments exact BIGINT sums, only the final division and two
+    IEEE-correctly-rounded sqrt calls in float). Fixture: a 500-seed
+    deterministic graph (s=(m·7)%83 → d=(m²+m)%97) whose quadratic
+    target rule gives non-uniform in-degrees, so the coefficient is a
+    real non-zero value."""
+    from kg_microbe_spark.operators.stats import degree_assortativity
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 500).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    edges = ms.select(
+        F.concat(F.lit("h"), ((m * 7) % 83).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((m * m + m) % 97).cast("string")).alias("dst"),
+    )
+    return degree_assortativity(edges, "src", "dst")
+
+
+_ASSORT_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 500 AS INT) AS m FROM documents),
+e AS (
+  SELECT DISTINCT 'h' || CAST((m * 7) % 83 AS VARCHAR) AS s,
+                  'h' || CAST((m * m + m) % 97 AS VARCHAR) AS d
+  FROM ms
+),
+outd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY s),
+ind AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY d),
+xy AS (SELECT x, y FROM e JOIN outd USING (s) JOIN ind USING (d)),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM xy
+)
+SELECT n_edges, sx, sy, sxy, sx2, sy2,
+       CASE WHEN n_edges * sx2 - sx * sx > 0 AND n_edges * sy2 - sy * sy > 0
+            THEN ROUND((n_edges * sxy - sx * sy) /
+                       (sqrt(n_edges * sx2 - sx * sx) *
+                        sqrt(n_edges * sy2 - sy * sy)), 6) + 0e0
+            ELSE 0e0 END AS assortativity
+FROM mo
+"""
+
+
+def q_chi2_terms(spark, sf_dir):
+    """χ² term–class association — executes the SHIPPED ``chi2_terms``
+    (operators/tfidf.py: presence = explode→distinct, (token, class)
+    and per-token counts combinable groupBys, class sizes + N
+    broadcast; every 2×2 cell exact BIGINT so N·(ad−bc)² and the
+    denominator are exact integer products). Fixture: sliding-window
+    vocab over 90 docs (the raw corpus has ~31 distinct tokens —
+    degenerate, per FIXTURES.md) with class = m mod 3 plus a 'shared'
+    token present in EVERY doc, which drives (c+d)=0 and proves the
+    zero-denominator guard."""
+    from kg_microbe_spark.operators.tfidf import chi2_terms
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 90).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        m.alias("doc_id"),
+        F.concat(
+            F.lit("w"), (m % 23).cast("string"),
+            F.lit(" w"), ((m + 1) % 23).cast("string"),
+            F.lit(" w"), ((m + 2) % 23).cast("string"),
+            F.lit(" shared"),
+        ).alias("text"),
+        F.concat(F.lit("c"), (m % 3).cast("string")).alias("cls"),
+    )
+    return chi2_terms(fx, "doc_id", "text", "cls", min_doc_count=2)
+
+
+_CHI2_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 90 AS INT) AS m FROM documents),
+fx AS (
+  SELECT m AS doc_id,
+         'w' || CAST(m % 23 AS VARCHAR) ||
+         ' w' || CAST((m + 1) % 23 AS VARCHAR) ||
+         ' w' || CAST((m + 2) % 23 AS VARCHAR) || ' shared' AS text,
+         'c' || CAST(m % 3 AS VARCHAR) AS cls
+  FROM ms
+),
+presence AS (
+  SELECT DISTINCT doc_id, cls AS class_, w AS token FROM (
+    SELECT doc_id, cls,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM fx
+  ) WHERE w <> ''
+),
+ac AS (SELECT token, class_, CAST(COUNT(*) AS BIGINT) AS a
+       FROM presence GROUP BY token, class_),
+tt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS t
+       FROM presence GROUP BY token),
+cs AS (SELECT cls AS class_, CAST(COUNT(*) AS BIGINT) AS csz
+       FROM fx GROUP BY cls),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM fx)
+SELECT token, class_, a AS n_class_with,
+       CASE WHEN t * (nn - t) * csz * (nn - csz) > 0
+            THEN ROUND((nn * (a * (nn - csz - (t - a)) - (t - a) * (csz - a))
+                           * (a * (nn - csz - (t - a)) - (t - a) * (csz - a)))
+                       / CAST(t * (nn - t) * csz * (nn - csz) AS DOUBLE),
+                       6) + 0e0
+            ELSE 0e0 END AS chi2
+FROM ac JOIN tt USING (token) JOIN cs USING (class_) CROSS JOIN nt
+WHERE t >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -8954,6 +9531,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_labels": q_kappa_labels,
         "purity_eval": q_purity_eval,
         "rbm_alignment": q_rbm_alignment,
+        "roc_auc_eval": q_roc_auc,
+        "degree_assortativity": q_degree_assortativity,
+        "chi2_terms": q_chi2_terms,
+        "llr_bigrams": q_llr_bigrams,
+        "kneser_ney_bigram": q_kneser_ney,
+        "ngram_novelty": q_ngram_novelty,
+        "burst_zscores": q_burst_zscores,
+        "link_reciprocity": q_link_reciprocity,
+        "crawl_frontier": q_crawl_frontier,
+        "kmv_distinct": q_kmv_distinct,
+        "kmeans_assign": q_kmeans_assign,
     }
 
 
@@ -9143,4 +9731,15 @@ e AS (
         "kappa_labels": _KAPPA_SQL,
         "purity_eval": _PURITY_SQL,
         "rbm_alignment": _RBM_SQL,
+        "roc_auc_eval": _ROC_AUC_SQL,
+        "degree_assortativity": _ASSORT_SQL,
+        "chi2_terms": _CHI2_SQL,
+        "llr_bigrams": _llr_sql(),
+        "kneser_ney_bigram": _KN_SQL,
+        "ngram_novelty": _NOVELTY_SQL,
+        "burst_zscores": _BURST_SQL,
+        "link_reciprocity": _RECIP_SQL,
+        "crawl_frontier": _FRONTIER_SQL,
+        "kmv_distinct": _KMV_SQL,
+        "kmeans_assign": _KMEANS_SQL,
     }

@@ -185,3 +185,64 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def llr_bigrams(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations — the significance-
+    aware alternative to :func:`pmi_bigrams` (PMI over-ranks rare
+    pairs; LLR is the test statistic phrase miners actually threshold,
+    Dunning 1993). Returns (w1, w2, n, llr) for bigrams with
+    count ≥ ``min_count``.
+
+    The 2×2 table comes from bigram-TABLE marginals (k11 = c(w1 w2),
+    row = c(w1 ·), col = c(· w2), N = total bigrams) and
+    LLR = 2·(Σ xlogx(k) − Σ xlogx(row) − Σ xlogx(col) + xlogx(N)).
+
+    Scale shape: one combinable bigram groupBy; the two marginals are
+    combinable re-aggregations of THAT count frame (never a second
+    corpus pass); each joins back by its own single key; N rides a
+    broadcast. Every cell is an exact BIGINT, so the only float ops
+    are ln on integer-valued doubles — libm-stable — and the final
+    rounding.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥ 1, got {min_count}")
+    toks = tokens_col(F.col(text_col))
+    big = (
+        docs.select(F.explode(_bigrams_col(toks)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n",
+        )
+    )
+    row = big.groupBy("w1").agg(F.sum("n").cast("long").alias("_r"))
+    col = big.groupBy("w2").agg(F.sum("n").cast("long").alias("_c"))
+    tot = F.broadcast(big.agg(F.sum("n").cast("long").alias("_n")))
+
+    def _xlogx(c):
+        return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    j = (
+        big.filter(F.col("n") >= F.lit(int(min_count)))
+        .join(row, "w1")
+        .join(col, "w2")
+        .crossJoin(tot)
+    )
+    k11 = F.col("n")
+    k12 = F.col("_r") - k11
+    k21 = F.col("_c") - k11
+    k22 = F.col("_n") - F.col("_r") - k21
+    llr = 2.0 * (
+        _xlogx(k11) + _xlogx(k12) + _xlogx(k21) + _xlogx(k22)
+        - _xlogx(F.col("_r")) - _xlogx(F.col("_n") - F.col("_r"))
+        - _xlogx(F.col("_c")) - _xlogx(F.col("_n") - F.col("_c"))
+        + _xlogx(F.col("_n"))
+    )
+    return j.select("w1", "w2", "n", F.round(llr, 6).alias("llr"))

@@ -525,3 +525,53 @@ def repeated_span_dedup(
             ),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram novelty — the memorization-risk
+    / boilerplate-contamination signal used to triage crawl snapshots
+    before exact-substring dedup (Lee et al. 2022 measure duplication
+    by exactly this fraction): what share of a document's DISTINCT
+    word n-grams also appear in at least one OTHER document.
+
+    Scale shape: per-doc distinct n-grams are one explode +
+    (doc, gram) distinct — duplicates collapse map-side; the gram
+    document-frequency is a combinable groupBy on the gram; the
+    join-back is a fact-sized equi-join on the gram key (skew-safe:
+    a gram's fan-out is its doc frequency, and AQE skew-split handles
+    the boilerplate grams that appear everywhere). Counts stay BIGINT;
+    the one float division IEEE-rounds identically on every engine.
+    Returns (``id_col``, n_grams, n_dup, novelty) with novelty =
+    1 − n_dup/n_grams, 6 dp; docs with < n tokens have no grams and
+    drop (honest absence).
+    """
+    from kg_microbe_spark.functions.text import tokens_col
+    from kg_microbe_spark.operators.repetition import ngrams_col
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(ngrams_col(tokens_col(F.col(text_col)), n)).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") >= 2).cast("long")).cast("long").alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        F.col("_doc").alias(id_col),
+        "n_grams",
+        "n_dup",
+        F.round(1.0 - F.col("n_dup") / F.col("n_grams"), 6).alias("novelty"),
+    )

@@ -266,3 +266,63 @@ def cluster_purity(
         F.round(r, 6).alias("inverse_purity"),
         F.round((2 * p * r) / (p + r), 6).alias("f1"),
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC AUC as a one-row frame via the score-histogram
+    (Mann-Whitney rank-sum) form — the scale-safe way to compute AUC
+    distributed (reference analog: the confidence-threshold evaluation
+    in kg_microbe's calibration flow scores binary edge acceptance;
+    this generalizes it to a threshold-free metric).
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Instead of
+    globally ranking every row (a total sort), rows first collapse to
+    one row PER DISTINCT SCORE carrying (pos, neg) counts — a
+    map-side-combinable groupBy. The ordered cumulative pass then runs
+    over that bounded histogram, exactly like calibration.py's W5
+    cumulative-CDF pattern: at 100 TB the fact table never sorts; only
+    the distinct-score frame (≤ cardinality of the score domain — bin
+    or quantize continuous scores first, as calibration.py does) flows
+    through the single-partition window.
+
+    The numerator is kept as an exact BIGINT doubled count
+    (2·concordant + tied) so the sum is addition-order-exact; the only
+    float op is the final division, which IEEE-rounds identically on
+    every engine. Returns (n_pos, n_neg, auc_numer_x2, auc).
+    """
+    from pyspark.sql import Window as W
+
+    lbl = F.col(label_col).cast("int")
+    hist = (
+        scored.select(F.col(score_col).alias("s"), lbl.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    # cumulative negatives STRICTLY below this score (histogram rows only)
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0).cast("long"))
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+        ).cast("long").alias("auc_numer_x2"),
+    )
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_numer_x2",
+        F.when(den > 0, F.round(F.col("auc_numer_x2") / den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("auc"),
+    )

@@ -139,3 +139,100 @@ def adamic_adar_pairs(
             "score_x1e6",
         )
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+) -> DataFrame:
+    """Per-node reciprocity profile over the DISTINCT directed edge set:
+    (node, out_deg, in_deg, n_reciprocal, reciprocity) where
+    n_reciprocal counts outgoing edges whose reverse edge also exists
+    and reciprocity = n_reciprocal/out_deg — the classic link-exchange
+    / link-farm signal (organic web graphs are mostly asymmetric;
+    mutual-link cliques light up at reciprocity ≈ 1).
+
+    Scale shape: the reverse-edge test is ONE self semi-join of the
+    distinct edge set against its swapped projection — same key
+    domain, so AQE reuses the exchange — and every count is a
+    combinable groupBy. The out/in/reciprocal frames merge on the node
+    key via outer joins (each side ≤ |V|). Nodes with no outgoing
+    edges report out_deg 0 and reciprocity 0.0; the one division
+    IEEE-rounds identically everywhere.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).filter(F.col("_s") != F.col("_d")).distinct()
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    recip = e.join(rev, ["_s", "_d"], "left_semi")
+    outd = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    ind = e.groupBy(F.col("_d").alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    rc = recip.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    base = (
+        outd.join(ind, "_s", "full_outer")
+        .join(rc, "_s", "left")
+        .select(
+            F.col("_s").alias("node"),
+            F.coalesce(F.col("out_deg"), F.lit(0).cast("long")).alias("out_deg"),
+            F.coalesce(F.col("in_deg"), F.lit(0).cast("long")).alias("in_deg"),
+            F.coalesce(F.col("n_reciprocal"), F.lit(0).cast("long")).alias(
+                "n_reciprocal"
+            ),
+        )
+    )
+    return base.select(
+        "node",
+        "out_deg",
+        "in_deg",
+        "n_reciprocal",
+        F.when(
+            F.col("out_deg") > 0,
+            F.round(F.col("n_reciprocal") / F.col("out_deg"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
+    )
+
+
+def crawl_frontier_schedule(
+    urls: DataFrame,
+    url_col: str,
+    host_col: str,
+    priority_col: str,
+    slots_per_round: int = 1,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: within each host,
+    rank URLs by (priority DESC, url ASC — deterministic) and assign
+    fetch_round = ceil(rank / slots_per_round), so no host is hit more
+    than ``slots_per_round`` times per round regardless of how many of
+    its URLs are queued — the per-host rate cap every large crawler
+    enforces (a frontier sorted by global priority alone hammers one
+    host with its million best-scored URLs).
+
+    Scale shape: ONE window partitioned by the host key — the natural
+    shuffle key; a mega-host's partition is the documented hot spot
+    and is bounded by frontier-per-host caps upstream, not by salting
+    (the rank must be globally consistent within the host). Integer
+    rank arithmetic only. Returns (url, host, rank_in_host,
+    fetch_round).
+    """
+    if slots_per_round < 1:
+        raise ValueError(f"slots_per_round must be ≥ 1, got {slots_per_round}")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.col(host_col)).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    rk = F.row_number().over(w)
+    s = F.lit(int(slots_per_round))
+    return urls.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        rk.alias("rank_in_host"),
+        (F.floor((rk + s - 1) / s)).cast("long").alias("fetch_round"),
+    )

@@ -294,3 +294,55 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_transitions"),
         _round4(F.avg("_logp")).alias("mean_logprob"),
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for every OBSERVED
+    bigram — the smoothing the CCNet/KenLM quality models actually use
+    (add-α in :func:`bigram_logprob` is the teaching baseline; KN's
+    continuation counts fix the 'Francisco problem' where a token
+    frequent in one context leaks probability everywhere).
+
+      p_KN(w|v) = max(c(vw)−D, 0)/c(v·)
+                  + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    Scale shape: ONE corpus pass builds the bigram count frame; c(v·),
+    N1+(v·) and N1+(·w) are combinable re-aggregations of that frame
+    keyed by one token each; N1+(··) rides a broadcast. All counts are
+    exact BIGINTs; D = 0.75 is exactly representable in binary, so the
+    probability expression is a fixed IEEE dataflow identical on every
+    engine. Returns (w1, w2, n, p_kn) rounded to 6 dp; Σ_w p_KN(w|v)
+    over the full vocab is 1 by construction (observed rows shown).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    from kg_microbe_spark.functions.text import tokens_col
+    from kg_microbe_spark.operators.repetition import _bigrams_col
+
+    d = F.lit(float(discount))
+    big = (
+        docs.select(F.explode(_bigrams_col(tokens_col(F.col(text_col)))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n",
+        )
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("n").cast("long").alias("_cv"),
+        F.count(F.lit(1)).cast("long").alias("_n1v"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("_n1w"))
+    types = F.broadcast(big.agg(F.count(F.lit(1)).cast("long").alias("_bt")))
+    j = big.join(ctx, "w1").join(cont, "w2").crossJoin(types)
+    p = (
+        F.greatest(F.col("n") - d, F.lit(0.0)) / F.col("_cv")
+        + (d * F.col("_n1v") / F.col("_cv")) * (F.col("_n1w") / F.col("_bt"))
+    )
+    return j.select("w1", "w2", "n", F.round(p, 6).alias("p_kn"))

@@ -81,3 +81,15 @@ def repetition_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
             "top_bigram_share",
         )
     )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Adjacent word n-grams of a token array (generalizes
+    :func:`_bigrams_col`); empty when the doc has < n tokens."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, pairs).otherwise(
+        F.array().cast("array<string>")
+    )

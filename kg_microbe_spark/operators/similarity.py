@@ -300,3 +300,59 @@ def pairwise_jaccard(
             (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
         )
     )
+
+
+def kmeans_assign(
+    points: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cid_col: str,
+    cvec_col: str,
+) -> DataFrame:
+    """One k-means ASSIGNMENT step: each point gets its nearest
+    centroid by squared L2 — the building block for embedding-space
+    corpus clustering (topic bucketing before mixture sampling) and
+    for IVF cell assignment; iterate by re-deriving centroids from the
+    assignment and calling again (the loop stays in the caller, like
+    closure.py's fixpoint contract).
+
+    Determinism contract: the distance is integerized PER ELEMENT —
+    Σ floor(1e9·(xᵢ−cᵢ)²) as BIGINT — so the sum is addition-order-
+    exact and the argmin (min over a (dist, cid) struct — tie →
+    smaller centroid id) is engine-stable.
+
+    Scale shape: centroids broadcast (k rows by construction); the
+    broadcast join emits k candidate rows per point INSIDE each task,
+    and the argmin is a combinable min-struct aggregation, so the
+    k-fold blow-up collapses map-side before any shuffle — the
+    post-join shuffle carries ~|points| rows, not |points|·k.
+    Returns (``id_col``, cluster_id, dist2_int).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(cid_col).alias("_cid"), F.col(cvec_col).alias("_cvec")
+        )
+    )
+    paired = points.select(F.col(id_col), F.col(vec_col).alias("_vec")).join(c)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_vec"),
+            F.col("_cvec"),
+            lambda x, y: F.floor(
+                F.lit(1e9)
+                * (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    win = paired.select(
+        F.col(id_col), F.struct(d2.alias("d2"), F.col("_cid").alias("cid")).alias("_s")
+    ).groupBy(id_col).agg(F.min("_s").alias("_w"))
+    return win.select(
+        id_col,
+        F.col("_w.cid").alias("cluster_id"),
+        F.col("_w.d2").alias("dist2_int"),
+    )

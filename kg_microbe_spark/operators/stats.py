@@ -198,3 +198,120 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "subject",
+    dst_col: str = "object",
+) -> DataFrame:
+    """Directed degree assortativity (Pearson r of out-degree(src) vs
+    in-degree(dst) across distinct edges) as one row of EXACT BIGINT
+    moments plus the rounded coefficient — the standard web-graph
+    health metric (link farms and scraped mirror clusters show strong
+    positive assortativity; organic link graphs are near zero or
+    negative).
+
+    Scale shape: degrees are two map-combinable groupBy counts over
+    the distinct edge set; each joins back to edges on its own key —
+    plain shuffle equi-joins that AQE can skew-split, never a collect.
+    Because degrees are integers, ALL five Pearson moments (Σx Σy Σxy
+    Σx² Σy²) are exact BIGINT sums — addition-order-free — and the
+    only float ops are one division and two sqrt calls on those exact
+    integers, both IEEE-correctly-rounded and therefore engine-stable.
+    Returns (n_edges, sx, sy, sxy, sx2, sy2, assortativity).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    outd = e.groupBy("_s").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("_d").agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(outd, "_s").join(ind, "_d")
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    n = F.col("n_edges")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n_edges",
+        "sx",
+        "sy",
+        "sxy",
+        "sx2",
+        "sy2",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-key distinct-count estimate via the K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002): keep the k smallest hashes of the
+    distinct values, estimate D ≈ (k−1)/F(h_k) where F normalizes the
+    k-th smallest hash into [0,1) — the mergeable cardinality sketch
+    for cases where ``approx_count_distinct``'s HLL is unavailable or
+    an engine-portable, exactly-reproducible estimate is required
+    (this one uses the md5-60-bit hash, so a SQL oracle replays it
+    bit-for-bit; xxhash64 would be cheaper but engine-specific).
+
+    Keys with fewer than k distinct values report the EXACT count
+    (the sketch is lossless below its capacity). Ties in the hash
+    order break on the value string, so the kept set is deterministic
+    even under (astronomically unlikely) 60-bit collisions.
+
+    Scale shape: the (key, value) distinct collapses duplicates
+    map-side; rank-k-per-key runs as ONE window partitioned by the
+    key — the partition carries the key's distinct VALUES, which is
+    exactly the quantity being sketched, so a hub key is the
+    documented hot spot; pre-filtering h below a coarse global
+    threshold (k / expected-D quantile) bounds it when hubs are known.
+    Returns (``key_col``, n_kept, est_distinct) with est rounded 6 dp.
+    """
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    from pyspark.sql import Window as W
+
+    from kg_microbe_spark.operators.dedup import portable_hash60_col
+
+    hv = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(value_col).cast("string").alias("_v"),
+        )
+        .distinct()
+        .select("_k", "_v", portable_hash60_col(F.col("_v")).alias("_h"))
+    )
+    w = W.partitionBy("_k").orderBy(F.col("_h").asc(), F.col("_v").asc())
+    top = (
+        hv.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(int(k)))
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("_h").cast("long").alias("_hk"),
+        )
+    )
+    est = F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk")
+    return top.select(
+        F.col("_k").alias(key_col),
+        "n_kept",
+        F.when(F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double"))
+        .otherwise(F.round(est, 6))
+        .alias("est_distinct"),
+    )

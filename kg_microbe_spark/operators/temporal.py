@@ -354,3 +354,110 @@ def decay_sum(
             F.round(F.sum(contrib) / F.lit(float(scale)), 6) + F.lit(0.0)
         ).alias("decayed_sum"),
     )
+
+
+def burst_zscores(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key activity-burst detection: z-score of each time bucket's
+    event count against that key's own mean/std across its ACTIVE
+    buckets — the cheap Kleinberg-style first pass that flags which
+    (entity, hour) cells deserve the expensive state-machine treatment
+    (a crawl pipeline uses it to spot scraper loops and event-driven
+    topic spikes before aggregation budgets are assigned).
+
+    Semantics contract: the baseline is over buckets WHERE THE KEY HAS
+    ≥1 EVENT (absent buckets are not zero-filled — densifying every
+    key × bucket combination is exactly the blow-up this operator
+    avoids at 100 TB; callers who need silence-aware baselines window
+    a dense rollup instead). Keys with one active bucket or zero
+    variance report z = 0.0.
+
+    Scale shape: bucket index = floor(epoch_µs / bucket_µs) computed
+    in-row as exact integers; (key, bucket) counts then per-key
+    (m, Σc, Σc²) are both combinable groupBys; the join-back is keyed
+    by the key alone. All moments are exact BIGINTs; z is one fixed
+    float dataflow (two divisions, one IEEE sqrt). Returns
+    (``key_col``, bucket, n_events, zscore) rounded to 6 dp.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bucket_us = int(bucket_seconds) * 1_000_000
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_us)
+    ).cast("long")
+    per_bucket = events.select(
+        F.col(key_col).alias("_k"), bucket.alias("bucket")
+    ).groupBy("_k", "bucket").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    moments = per_bucket.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("n_events").cast("long").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_s2"),
+    )
+    j = per_bucket.join(moments, "_k")
+    mu = F.col("_s1") / F.col("_m")
+    var = F.col("_s2") / F.col("_m") - mu * mu
+    return j.select(
+        F.col("_k").alias(key_col),
+        "bucket",
+        "n_events",
+        F.when(
+            (F.col("_m") > 1) & (var > 0),
+            F.round((F.col("n_events") - mu) / F.sqrt(var), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+    )
+
+
+def inter_arrival_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival-gap profile in EXACT integer microseconds:
+    (key, n_events, n_gaps, min_gap_us, max_gap_us, mean_gap_us) — the
+    bot/scraper fingerprint (machine traffic has near-constant gaps;
+    humans are heavy-tailed) and the crawl-rate sanity check.
+
+    Determinism: gaps are diffs of exact unix_micros over the per-key
+    (ts) order; simultaneous events produce 0-gaps whose value is
+    independent of tie order, so the gap MULTISET — and therefore
+    every statistic here — is deterministic without a tiebreaker.
+    mean = Σgap/n_gaps is the single float op.
+
+    Scale shape: ONE window partitioned by the key (the natural
+    shuffle key; a key's partition holds its own events only), then a
+    combinable groupBy. Keys with one event report n_gaps 0 and null
+    gap stats (honest absence, not zeros).
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = W.partitionBy(F.col(key_col)).orderBy(us.asc())
+    gap = us - F.lag(us).over(w)
+    g = events.select(F.col(key_col).alias("_k"), gap.alias("_gap"))
+    return (
+        g.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_gap").cast("long").alias("n_gaps"),
+            F.min("_gap").cast("long").alias("min_gap_us"),
+            F.max("_gap").cast("long").alias("max_gap_us"),
+            F.when(
+                F.count("_gap") > 0,
+                F.round(F.sum("_gap") / F.count("_gap"), 6),
+            ).alias("mean_gap_us"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_events",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            "mean_gap_us",
+        )
+    )

@@ -161,3 +161,77 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= F.lit(float(min_cosine)))
     )
+
+
+def chi2_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """χ² term–class association over document-level token PRESENCE —
+    the classic feature-selection / drift-detection statistic for a
+    labeled corpus (which vocabulary is over-represented in one
+    language / domain / quality band; reference analog: the per-source
+    vocabulary audits kg_microbe runs before trusting a new dump).
+
+    For each (token, class) the 2×2 contingency table is
+      a = docs of this class containing the token
+      b = docs of other classes containing the token
+      c = class size − a,   d = N − class_size − b
+    and χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Scale shape: presence is explode→distinct (one shuffle keyed by
+    (doc, token) — map-side combinable because duplicates collapse
+    early); (token, class) counts and per-token totals are combinable
+    groupBys; class sizes and N ride a broadcast. Every table cell is
+    an exact BIGINT, so (ad−bc)² and the denominator are exact integer
+    products (document counts ≤ ~3·10⁴ per class keep the BIGINT
+    products in range at any realistic shard size — shard the corpus
+    before counting if a class exceeds that), and the single float
+    division IEEE-rounds identically on every engine.
+    Returns (token, class_, n_class_with, chi2).
+    """
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be ≥ 1, got {min_doc_count}")
+    presence = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.col(class_col).alias("class_"),
+            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+        )
+        .distinct()
+    )
+    ac = presence.groupBy("token", "class_").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tok_tot = presence.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    # class sizes: keyed aggregate over the full corpus — ≤ |classes| rows
+    # after the combinable count, but the optimizer cannot know that at
+    # plan time, so no explicit broadcast hint: AQE sees the materialized
+    # size at runtime and converts the join to broadcast itself.
+    cls_sz = docs.groupBy(F.col(class_col).alias("class_")).agg(
+        F.count(F.lit(1)).cast("long").alias("csz")
+    )
+    n_tot = F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("nn")))
+    j = (
+        ac.join(tok_tot, "token")
+        .filter(F.col("t") >= F.lit(int(min_doc_count)))
+        .join(cls_sz, "class_")
+        .crossJoin(n_tot)
+    )
+    a = F.col("a")
+    b = F.col("t") - a
+    c = F.col("csz") - a
+    d = F.col("nn") - F.col("csz") - b
+    num = F.col("nn") * (a * d - b * c) * (a * d - b * c)
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    return j.select(
+        "token",
+        "class_",
+        a.alias("n_class_with"),
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("chi2"),
+    )
