@@ -8666,6 +8666,252 @@ FROM br JOIN bl ON bl.l = br.l AND bl.r = br.r
 """
 
 
+def q_inter_arrival(spark, sf_dir):
+    """Per-key inter-arrival gap profile — executes the SHIPPED
+    ``inter_arrival_stats`` (operators/temporal.py: ONE key-partitioned
+    window over exact unix_micros, combinable groupBy; 0-gaps from
+    simultaneous events are tie-order-invariant so every statistic is
+    deterministic). REAL events table keyed by user_id."""
+    from kg_microbe_spark.operators.temporal import inter_arrival_stats
+
+    return inter_arrival_stats(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+_INTER_ARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CASE WHEN COUNT(gap) > 0
+            THEN ROUND(CAST(SUM(gap) AS BIGINT)
+                       / CAST(COUNT(gap) AS DOUBLE) / 1000000e0, 6) + 0e0
+            END AS mean_gap_s
+FROM g GROUP BY user_id
+"""
+
+
+def _card_edges(spark, sf_dir):
+    """Shared fixture for the two validation entries: four synthetic
+    predicates engineered into each cardinality class."""
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 240).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+
+    def _e(pred, s, o):
+        return ms.select(
+            s.alias("subject"), F.lit(pred).alias("predicate"), o.alias("object")
+        )
+
+    c = F.concat
+    return (
+        _e("one2one", c(F.lit("a"), m.cast("string")), c(F.lit("b"), m.cast("string")))
+        .unionByName(_e("many2one", c(F.lit("s"), m.cast("string")),
+                        c(F.lit("g"), (m % 7).cast("string"))))
+        .unionByName(_e("one2many", c(F.lit("h"), (m % 7).cast("string")),
+                        c(F.lit("t"), m.cast("string"))))
+        .unionByName(_e("many2many", c(F.lit("x"), (m % 11).cast("string")),
+                        c(F.lit("y"), (m % 13).cast("string"))))
+    )
+
+
+_CARD_EDGES_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 240 AS INT) AS m FROM documents),
+edges AS (
+  SELECT 'a' || CAST(m AS VARCHAR) AS subject, 'one2one' AS predicate,
+         'b' || CAST(m AS VARCHAR) AS object FROM ms
+  UNION ALL
+  SELECT 's' || CAST(m AS VARCHAR), 'many2one',
+         'g' || CAST(m % 7 AS VARCHAR) FROM ms
+  UNION ALL
+  SELECT 'h' || CAST(m % 7 AS VARCHAR), 'one2many',
+         't' || CAST(m AS VARCHAR) FROM ms
+  UNION ALL
+  SELECT 'x' || CAST(m % 11 AS VARCHAR), 'many2many',
+         'y' || CAST(m % 13 AS VARCHAR) FROM ms
+)"""
+
+
+def q_predicate_cardinality(spark, sf_dir):
+    """Per-predicate cardinality audit — executes the SHIPPED
+    ``predicate_cardinality`` (operators/validation.py: distinct edge
+    set, ONE groupBy(predicate) with two count_distincts, exact
+    integer-identity classification — no float thresholds). Fixture:
+    four synthetic predicates constructed to land in each class
+    (1-1 / N-1 / 1-N / N-N via an 11×13 CRT lattice)."""
+    from kg_microbe_spark.operators.validation import predicate_cardinality
+
+    return predicate_cardinality(_card_edges(spark, sf_dir))
+
+
+_PRED_CARD_SQL = _CARD_EDGES_SQL + """,
+e AS (SELECT DISTINCT subject, predicate, object FROM edges),
+prof AS (
+  SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
+         CAST(COUNT(DISTINCT object) AS BIGINT) AS n_objects
+  FROM e GROUP BY predicate
+)
+SELECT predicate, n_edges, n_subjects, n_objects,
+       CASE WHEN n_edges = n_subjects AND n_edges = n_objects THEN '1-1'
+            WHEN n_edges = n_subjects THEN 'N-1'
+            WHEN n_edges = n_objects THEN '1-N'
+            ELSE 'N-N' END AS cardinality
+FROM prof
+"""
+
+
+def q_functional_violations(spark, sf_dir):
+    """OWL functional-property audit — executes the SHIPPED
+    ``functional_violations`` (operators/validation.py: literal isin
+    filter pushed to the scan, combinable groupBy(subject, predicate)
+    count_distinct, HAVING > 1 — violation-sized output). Same fixture
+    edges; 'one2many' declared functional is the seeded violation,
+    'one2one'/'many2one' prove the clean path."""
+    from kg_microbe_spark.operators.validation import functional_violations
+
+    return functional_violations(
+        _card_edges(spark, sf_dir), ["one2one", "many2one", "one2many"]
+    )
+
+
+_FUNC_VIOL_SQL = _CARD_EDGES_SQL + """
+SELECT subject, predicate,
+       CAST(COUNT(DISTINCT object) AS BIGINT) AS n_objects
+FROM edges
+WHERE predicate IN ('one2one', 'many2one', 'one2many')
+GROUP BY subject, predicate
+HAVING COUNT(DISTINCT object) > 1
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Cumulative vocabulary-coverage curve — executes the SHIPPED
+    ``vocab_coverage`` (operators/heavyhitters.py: one combinable token
+    count collapses the corpus to its vocabulary; the ordered
+    cumulative window runs over THAT bounded histogram — the
+    W5/calibration pattern; len(checkpoints)-row output). Fixture: a
+    three-tier Zipf-ish corpus ('the' ≫ a-tier ≫ b-tier) with
+    count ties proving the (count DESC, token ASC) determinism."""
+    from kg_microbe_spark.operators.heavyhitters import vocab_coverage
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        F.concat(
+            F.lit("the a"), (m % 3).cast("string"),
+            F.lit(" b"), (m % 20).cast("string"),
+        ).alias("text")
+    )
+    return vocab_coverage(fx, "text", checkpoints=[1, 3, 10])
+
+
+_VOCAB_COV_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 60 AS INT) AS m FROM documents),
+toks AS (
+  SELECT 'the' AS t FROM ms
+  UNION ALL SELECT 'a' || CAST(m % 3 AS VARCHAR) FROM ms
+  UNION ALL SELECT 'b' || CAST(m % 20 AS VARCHAR) FROM ms
+),
+counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM counts),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+ks AS (SELECT CAST(unnest([1, 3, 10]) AS BIGINT) AS k),
+at_k AS (
+  SELECT k, CAST(MAX(rk) AS BIGINT) AS n_types,
+         CAST(MAX(cum) AS BIGINT) AS covered
+  FROM ks LEFT JOIN ranked ON rk <= k GROUP BY k
+)
+SELECT k, n_types, covered,
+       ROUND(covered / CAST(tot AS DOUBLE), 6) AS coverage
+FROM at_k CROSS JOIN total
+"""
+
+
+def q_ppr_seeds(spark, sf_dir):
+    """Personalized PageRank from a 3-node seed set — executes the
+    SHIPPED ``personalized_pagerank`` (operators/pagerank.py: same
+    per-iteration equi-join + combinable groupBy(dst) plan as
+    pagerank; teleport = broadcast seed flag on the node frame;
+    dangling mass not redistributed, matching the oracle). Graph: a
+    29-node CRT fixture whose dst rule depends on m mod 31, so
+    out-degrees vary. Oracle: the SAME 2 steps unrolled as CTEs."""
+    from kg_microbe_spark.operators.pagerank import personalized_pagerank
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 200).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    edges = ms.select(
+        F.concat(F.lit("n"), (m % 29).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (((m % 31) * 3 + 1) % 29).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.range(3).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("seed")
+    )
+    return personalized_pagerank(
+        edges, "src", "dst", seeds, "seed", iterations=2, damping=0.85
+    )
+
+
+def _ppr_sql(iterations: int = 2, damping: float = 0.85) -> str:
+    one_minus_d = f"{1.0 - damping:.17e}"
+    d = f"{damping:.17e}"
+    sql = [f"""
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 200 AS INT) AS m FROM documents),
+e AS (
+  SELECT DISTINCT 'n' || CAST(m % 29 AS VARCHAR) AS src,
+                  'n' || CAST(((m % 31) * 3 + 1) % 29 AS VARCHAR) AS dst
+  FROM ms
+  WHERE 'n' || CAST(m % 29 AS VARCHAR)
+        <> 'n' || CAST(((m % 31) * 3 + 1) % 29 AS VARCHAR)
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT 'n' || CAST(x AS VARCHAR) AS id
+          FROM (SELECT unnest([0, 1, 2]) AS x)),
+ns AS (SELECT COUNT(*) AS cnt FROM seeds),
+t AS (
+  SELECT nodes.id,
+         CASE WHEN seeds.id IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / ns.cnt ELSE 0e0 END AS tv
+  FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id CROSS JOIN ns
+),
+deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+r0 AS (SELECT id, tv AS r FROM t)"""]
+    for k in range(1, iterations + 1):
+        sql.append(f""",
+r{k} AS (
+  SELECT t.id, {one_minus_d} * t.tv + {d} * COALESCE(s.m, 0e0) AS r
+  FROM t LEFT JOIN (
+    SELECT e.dst, SUM(p.r / deg.dg) AS m
+    FROM e JOIN r{k - 1} p ON p.id = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = t.id
+)""")
+    sql.append(f"\nSELECT id, r AS rank FROM r{iterations}")
+    return "".join(sql)
+
+
 def q_burst_zscores(spark, sf_dir):
     """Per-key activity-burst z-scores — executes the SHIPPED
     ``burst_zscores`` (operators/temporal.py: exact integer-µs bucket
@@ -9542,6 +9788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "kmv_distinct": q_kmv_distinct,
         "kmeans_assign": q_kmeans_assign,
+        "inter_arrival_stats": q_inter_arrival,
+        "predicate_cardinality": q_predicate_cardinality,
+        "functional_violations": q_functional_violations,
+        "vocab_coverage": q_vocab_coverage,
+        "ppr_seeds": q_ppr_seeds,
     }
 
 
@@ -9742,4 +9993,9 @@ e AS (
         "crawl_frontier": _FRONTIER_SQL,
         "kmv_distinct": _KMV_SQL,
         "kmeans_assign": _KMEANS_SQL,
+        "inter_arrival_stats": _INTER_ARRIVAL_SQL,
+        "predicate_cardinality": _PRED_CARD_SQL,
+        "functional_violations": _FUNC_VIOL_SQL,
+        "vocab_coverage": _VOCAB_COV_SQL,
+        "ppr_seeds": _ppr_sql(2, 0.85),
     }

@@ -107,3 +107,79 @@ def frequent_tokens(
             f"{total} total tokens; need capacity > {total // min_count}"
         )
     return counted
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str,
+    checkpoints: list[int] = (10, 100, 1000),
+) -> DataFrame:
+    """Cumulative token-coverage curve: for each vocabulary-size
+    checkpoint k, what fraction of all corpus TOKEN OCCURRENCES the k
+    most frequent types cover — the curve that sizes a tokenizer
+    vocabulary or a stopword list (Zipfian corpora saturate fast;
+    a curve that doesn't is a boilerplate/spam smell).
+
+    Determinism: types rank by (count DESC, token ASC) so equal-count
+    types order stably. Scale shape: ONE combinable token count
+    collapses the corpus to its vocabulary; the ordered cumulative
+    window runs over THAT bounded histogram (the W5/calibration
+    pattern — never over token occurrences); the checkpoints are
+    LITERALS, so the per-checkpoint readout is a keyless conditional
+    aggregation over the ranked histogram — no theta join whose build
+    side could balloon to the vocabulary (the join formulation tempts
+    Spark into broadcasting the vocab-sized side). Output is
+    len(checkpoints) rows exploded in-row from the 1-row aggregate.
+    Counts stay BIGINT; coverage is one division. Checkpoints beyond
+    the vocabulary report the full vocabulary (coverage 1.0).
+    """
+    if not checkpoints or any(int(k) < 1 for k in checkpoints):
+        raise ValueError(f"checkpoints must be ≥ 1, got {checkpoints}")
+    from pyspark.sql import Window as W
+
+    from kg_microbe_spark.functions.text import tokens_col
+
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    order = (F.col("c").desc(), F.col("t").asc())
+    ranked = counts.select(
+        F.row_number().over(W.orderBy(*order)).alias("rk"),
+        F.sum("c").over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    aggs = []
+    for k in checkpoints:
+        kk = int(k)
+        aggs.append(
+            F.max(F.when(F.col("rk") <= kk, F.col("rk")))
+            .cast("long")
+            .alias(f"_nt_{kk}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rk") <= kk, F.col("cum")))
+            .cast("long")
+            .alias(f"_cov_{kk}")
+        )
+    one = ranked.agg(F.max("cum").cast("long").alias("_tot"), *aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(k)).cast("long").alias("k"),
+                    F.col(f"_nt_{int(k)}").alias("n_types"),
+                    F.col(f"_cov_{int(k)}").alias("covered"),
+                )
+                for k in checkpoints
+            ]
+        )
+    ).alias("_r")
+    return one.select(rows, "_tot").select(
+        F.col("_r.k").alias("k"),
+        F.col("_r.n_types").alias("n_types"),
+        F.col("_r.covered").alias("covered"),
+        F.round(F.col("_r.covered") / F.col("_tot"), 6).alias("coverage"),
+    )

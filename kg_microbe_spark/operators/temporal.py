@@ -419,7 +419,7 @@ def inter_arrival_stats(
     ts_col: str,
 ) -> DataFrame:
     """Per-key inter-arrival-gap profile in EXACT integer microseconds:
-    (key, n_events, n_gaps, min_gap_us, max_gap_us, mean_gap_us) — the
+    (key, n_events, n_gaps, min_gap_us, max_gap_us, mean_gap_s) — the
     bot/scraper fingerprint (machine traffic has near-constant gaps;
     humans are heavy-tailed) and the crawl-rate sanity check.
 
@@ -427,7 +427,10 @@ def inter_arrival_stats(
     (ts) order; simultaneous events produce 0-gaps whose value is
     independent of tie order, so the gap MULTISET — and therefore
     every statistic here — is deterministic without a tiebreaker.
-    mean = Σgap/n_gaps is the single float op.
+    mean = Σgap/n_gaps/1e6 is the single float chain, reported in
+    SECONDS: a µs-scale mean (~10¹⁰) has more magnitude than 6 decimal
+    places can carry in a double, so rounding it is not engine-stable;
+    the seconds value is, and min/max stay exact integer µs.
 
     Scale shape: ONE window partitioned by the key (the natural
     shuffle key; a key's partition holds its own events only), then a
@@ -449,8 +452,8 @@ def inter_arrival_stats(
             F.max("_gap").cast("long").alias("max_gap_us"),
             F.when(
                 F.count("_gap") > 0,
-                F.round(F.sum("_gap") / F.count("_gap"), 6),
-            ).alias("mean_gap_us"),
+                F.round(F.sum("_gap") / F.count("_gap") / F.lit(1e6), 6),
+            ).alias("mean_gap_s"),
         )
         .select(
             F.col("_k").alias(key_col),
@@ -458,6 +461,6 @@ def inter_arrival_stats(
             "n_gaps",
             "min_gap_us",
             "max_gap_us",
-            "mean_gap_us",
+            "mean_gap_s",
         )
     )

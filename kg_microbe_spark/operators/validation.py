@@ -138,3 +138,66 @@ def hierarchy_cycle_nodes(edges: DataFrame, child_col: str, parent_col: str) -> 
         .unionByName(self_loops)
         .distinct()
     )
+
+
+def predicate_cardinality(edges: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile: (predicate, n_edges,
+    n_subjects, n_objects, cardinality) where cardinality classifies
+    the DISTINCT edge set exactly — '1-1' (both sides functional),
+    'N-1' (every subject has exactly one object), '1-N' (every object
+    has exactly one subject), 'N-N' — the audit a KG runs before
+    choosing KGE scoring functions or merge strategies (TransE can't
+    model N-N relations; a 'taxon_id' predicate that classifies N-N
+    is a data bug worth a report row).
+
+    The classification uses exact integer identities (n_edges ==
+    n_subjects ⟺ functional over the distinct set) — no float
+    thresholds. Scale shape: one distinct + one combinable groupBy
+    with two count_distinct aggregates (Spark expands multi-distinct
+    into an expand+two-pass plan — bounded by the predicate vocabulary
+    on output, fact-sized in the middle, no collects).
+    """
+    e = edges.select("subject", "predicate", "object").distinct()
+    prof = e.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.count_distinct("subject").cast("long").alias("n_subjects"),
+        F.count_distinct("object").cast("long").alias("n_objects"),
+    )
+    ne, ns, no = F.col("n_edges"), F.col("n_subjects"), F.col("n_objects")
+    return prof.select(
+        "predicate",
+        "n_edges",
+        "n_subjects",
+        "n_objects",
+        F.when((ne == ns) & (ne == no), F.lit("1-1"))
+        .when(ne == ns, F.lit("N-1"))
+        .when(ne == no, F.lit("1-N"))
+        .otherwise(F.lit("N-N"))
+        .alias("cardinality"),
+    )
+
+
+def functional_violations(
+    edges: DataFrame,
+    functional_predicates: list[str],
+) -> DataFrame:
+    """Rows (subject, predicate, n_objects) for every subject that has
+    MORE THAN ONE distinct object under a predicate declared
+    functional — the OWL FunctionalProperty consistency check
+    (reference analog: kg_microbe's duplicate-edge audit treats a
+    second object for an identity-like predicate as a merge error to
+    fix, not a fact to keep).
+
+    Scale shape: the predicate list is a literal isin filter (pushed
+    to the scan), then one combinable groupBy(subject, predicate) with
+    count_distinct(object) and a HAVING > 1 — output is violation-
+    sized, never fact-sized.
+    """
+    if not functional_predicates:
+        raise ValueError("functional_predicates must be non-empty")
+    return (
+        edges.filter(F.col("predicate").isin(list(functional_predicates)))
+        .groupBy("subject", "predicate")
+        .agg(F.count_distinct("object").cast("long").alias("n_objects"))
+        .filter(F.col("n_objects") > 1)
+    )
