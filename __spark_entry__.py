@@ -9489,6 +9489,158 @@ WHERE t >= 2
 """
 
 
+def q_interval_coalesce(spark, sf_dir):
+    """Gaps-and-islands interval merge — executes the SHIPPED
+    ``coalesce_intervals`` (operators/temporal.py: ONE key-partitioned
+    window computing running max-end + island counter, combinable
+    groupBy(key, island); no interval self-join). Fixture: REAL events
+    rows become [ts, ts + (event_id%7+1)*5min) validity intervals per
+    user — adjacent clicks chain into long islands, idle users stay
+    singletons."""
+    from kg_microbe_spark.operators.temporal import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        F.col("user_id"),
+        us.alias("ivl_start"),
+        (us + ((F.col("event_id") % 7) + 1) * F.lit(300_000_000)).alias(
+            "ivl_end"
+        ),
+    )
+    return coalesce_intervals(iv, "user_id", "ivl_start", "ivl_end")
+
+
+_INTERVAL_COALESCE_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + ((event_id % 7) + 1) * 300000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS pme
+  FROM iv
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+  FROM m
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS isl
+  FROM f
+)
+SELECT user_id,
+       CAST(MIN(s) AS BIGINT) AS island_start,
+       CAST(MAX(e) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM g GROUP BY user_id, isl
+"""
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel — executes the SHIPPED ``event_funnel``
+    (operators/temporal.py: per-stage combinable groupBy(user).min
+    joined on the ONE shared user key; strict-after first-qualifying
+    semantics). REAL events table, signup -> click -> purchase."""
+    from kg_microbe_spark.operators.temporal import event_funnel
+
+    return event_funnel(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "click", "purchase"],
+    )
+
+
+_EVENT_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t FROM e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+SELECT 1 AS step, 'signup' AS step_name,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle — executes the SHIPPED
+    ``retention_cohorts`` (operators/temporal.py: integer-division
+    bucket index, combinable first-bucket min, distinct activity frame,
+    user-keyed join-back). REAL events table, 7-day buckets over the
+    30-day span."""
+    from kg_microbe_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", bucket_seconds=604800
+    )
+
+
+_RETENTION_SQL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS bk FROM events
+),
+f AS (SELECT user_id, MIN(bk) AS cohort FROM b GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, bk FROM b)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_bucket,
+       CAST(a.bk - f.cohort AS BIGINT) AS bucket_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """Clickstream Markov transition matrix — executes the SHIPPED
+    ``markov_transitions`` (operators/temporal.py: ONE key-partitioned
+    lag window with the unique event_id tiebreaker, combinable pair
+    counts, totals re-aggregated from the state^2-bounded frame). REAL
+    events table keyed by user_id over event_type."""
+    from kg_microbe_spark.operators.temporal import markov_transitions
+
+    return markov_transitions(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+_MARKOV_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS prev_state, event_type AS next_state,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT prev_state, CAST(SUM(n_transitions) AS BIGINT) AS tot
+      FROM c GROUP BY 1)
+SELECT c.prev_state, c.next_state, c.n_transitions,
+       ROUND(c.n_transitions / CAST(t.tot AS DOUBLE), 6) + 0e0 AS p
+FROM c JOIN t USING (prev_state)
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -9793,6 +9945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_violations": q_functional_violations,
         "vocab_coverage": q_vocab_coverage,
         "ppr_seeds": q_ppr_seeds,
+        "interval_coalesce": q_interval_coalesce,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -9998,4 +10154,8 @@ e AS (
         "functional_violations": _FUNC_VIOL_SQL,
         "vocab_coverage": _VOCAB_COV_SQL,
         "ppr_seeds": _ppr_sql(2, 0.85),
+        "interval_coalesce": _INTERVAL_COALESCE_SQL,
+        "event_funnel": _EVENT_FUNNEL_SQL,
+        "retention_cohorts": _RETENTION_SQL,
+        "markov_transitions": _MARKOV_SQL,
     }

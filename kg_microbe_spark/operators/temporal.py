@@ -464,3 +464,227 @@ def inter_arrival_stats(
             "mean_gap_s",
         )
     )
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    islands (gaps-and-islands): a temporal KG stores per-fact validity
+    intervals from many extractions, and the merge step needs each
+    (subject, predicate) claim's CONSOLIDATED validity windows — this
+    collapses [1,5),[4,9),[9,12) to one island and leaves [20,25)
+    separate. Also the session/uptime consolidation primitive for web
+    event logs.
+
+    Inputs are exact integer interval bounds (the caller integerizes,
+    e.g. unix_micros) with start <= end; intervals merge when
+    ``start <= max(prior ends)`` (closed-interval overlap OR adjacency).
+
+    Determinism: the window orders by (start, end); rows tying on both
+    are interchangeable (the later one can never start a new island,
+    since its own end >= its start <= the tied row's end), so island
+    assignment is invariant to physical tie order — no tiebreaker id
+    needed.
+
+    Scale shape: ONE window partitioned by the key (the natural shuffle
+    key) computing the running max-end and the island counter, then a
+    combinable groupBy(key, island). No self-join, no range join — the
+    naive interval-overlap self-join is O(n_k^2) per key; this is
+    O(n_k log n_k). Returns (key, island_start, island_end,
+    n_intervals), all exact integers.
+    """
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    base = intervals.select(F.col(key_col).alias("_k"), s.alias("_s"), e.alias("_e"))
+    w = Window.partitionBy("_k").orderBy(F.col("_s").asc(), F.col("_e").asc())
+    prior_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        "_k",
+        "_s",
+        "_e",
+        F.when(
+            prior_max_end.isNull() | (F.col("_s") > prior_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    islanded = flagged.select(
+        "_k",
+        "_s",
+        "_e",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_island"),
+    )
+    return (
+        islanded.groupBy("_k", "_island")
+        .agg(
+            F.min("_s").cast("long").alias("island_start"),
+            F.max("_e").cast("long").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "island_start",
+            "island_end",
+            "n_intervals",
+        )
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 STRICTLY AFTER their first step 1, then step 3 strictly
+    after that first qualifying step 2, ... — the signup -> engage ->
+    convert report every web-events pipeline runs, and (on a KG build)
+    the extraction-stage attrition report (page fetched -> mention
+    found -> triple accepted per source).
+
+    Semantics: per user, t_1 = min ts of a step-1 event; t_i = min ts
+    of a step-i event with ts > t_{i-1}. A user counts for step i iff
+    t_i exists. First-qualifying (not any-qualifying) matching, strict
+    >, deterministic regardless of event tie order because only MIN
+    timestamps are kept at each stage.
+
+    Scale shape: stage i is a combinable groupBy(user).min over the
+    type-filtered fact slice joined to the (already user-unique)
+    stage-(i-1) frame on the user key — every join and every groupBy
+    shares ONE shuffle key (the user), so AQE reuses the exchange; the
+    per-stage frames only shrink. K steps = K filtered passes; no
+    window over the whole event stream, no per-user event collection.
+    Returns one row per step: (step, step_name, n_users).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), us.alias("_us")
+    )
+    prev = (
+        base.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_ts"))
+    )
+    stage_frames = [prev]
+    for step_name in steps[1:]:
+        nxt = (
+            base.filter(F.col("_t") == step_name)
+            .join(prev.select("_u", F.col("_ts").alias("_prev_ts")), "_u")
+            .filter(F.col("_us") > F.col("_prev_ts"))
+            .groupBy("_u")
+            .agg(F.min("_us").alias("_ts"))
+        )
+        stage_frames.append(nxt)
+        prev = nxt
+    out = None
+    for i, (name, frame) in enumerate(zip(steps, stage_frames), start=1):
+        row = frame.agg(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort-retention triangle: users grouped by the time bucket of
+    their FIRST event (the cohort), counted in every later bucket they
+    were active in — the week-over-week retention matrix for web
+    traffic, and for a crawl corpus the domain-freshness report (first
+    seen vs still emitting documents N weeks later).
+
+    Exactness: bucket index = epoch_µs DIV bucket_µs — INTEGER
+    division, not floor(double /), so a timestamp landing exactly on a
+    bucket boundary can never round across it.
+
+    Scale shape: per-user first bucket is a combinable groupBy.min;
+    activity is the distinct (user, bucket) frame (distinct collapses
+    map-side); the join-back is keyed by the user; the final count
+    needs no count_distinct because (user, bucket) is already unique.
+    Returns (cohort_bucket, bucket_offset, n_users).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bucket_us = int(bucket_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = events.select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"unix_micros(cast(`{ts_col}` as timestamp)) div {bucket_us}"
+        ).alias("_bk"),
+    )
+    first = b.groupBy("_u").agg(F.min("_bk").alias("_cohort"))
+    active = b.distinct()
+    return (
+        active.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_bucket"),
+            (F.col("_bk") - F.col("_cohort")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states per key: the page-category clickstream model
+    (P(next page type | current)), and on a KG-construction pipeline
+    the per-source extraction-state transition audit (what follows an
+    'error' event?).
+
+    Determinism: consecutive-ness needs a TOTAL per-key order, so ties
+    on the timestamp are broken by ``tiebreak_col`` (a unique event
+    id) — unlike the gap multiset in ``inter_arrival_stats``, the
+    PAIRING here is tie-order-sensitive, so the tiebreaker is part of
+    the contract, not an option.
+
+    Scale shape: ONE window partitioned by the key for the lag, a
+    combinable groupBy(prev, next) count, and the per-prev totals are
+    re-aggregated FROM THAT state²-bounded frame (never a second pass
+    over the facts); the totals join is on a state-vocabulary-sized
+    frame. p = n/total is the single float chain, rounded to 6 dp.
+    Returns (prev_state, next_state, n_transitions, p).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        us.asc(), F.col(tiebreak_col).asc()
+    )
+    paired = events.select(
+        F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).filter(F.col("prev_state").isNotNull())
+    counts = paired.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("prev_state").agg(
+        F.sum("n_transitions").cast("long").alias("_tot")
+    )
+    return counts.join(totals, "prev_state").select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("p"),
+    )
