@@ -9641,6 +9641,108 @@ FROM c JOIN t USING (prev_state)
 
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Per-rule Gopher document quality gates — executes the SHIPPED
+    ``gopher_quality_flags`` (operators/quality_rules.py: pure JVM
+    projection, zero shuffles; every ratio threshold an INTEGER
+    cross-multiplication so flags are bit-stable). min_words lowered
+    to 20 so the synthetic 10-99-word docs exercise BOTH branches of
+    the word-count rule."""
+    from kg_microbe_spark.operators.quality_rules import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_words=20
+    )
+
+
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws,
+         length(regexp_replace(text, '\\s', '', 'g')) AS swl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(swl AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(ws),
+              ['the','a','and','of','to','be','that','with']))
+              AS BIGINT) AS stop_hits,
+         CAST(n_hash + n_ell AS BIGINT) AS n_symbols
+  FROM w
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, stop_hits, n_symbols,
+       (n_words >= 20 AND n_words <= 100000) AS flag_word_count,
+       (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        AND n_words > 0) AS flag_mean_word_len,
+       (100 * n_alpha_words >= 80 * n_words) AS flag_alpha_words,
+       (stop_hits >= 2) AS flag_stopwords,
+       (100 * n_symbols <= 10 * n_words) AS flag_symbols,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+             AND n_words > 0)
+        AND (100 * n_alpha_words >= 80 * n_words)
+        AND (stop_hits >= 2)
+        AND (100 * n_symbols <= 10 * n_words)) AS passes
+FROM c
+"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-exponent OLS fit — executes the SHIPPED ``zipf_slope``
+    (operators/heavyhitters.py: combinable token count -> bounded-vocab
+    rank window -> exact BIGINT regression moments from floor(1e6·ln)
+    coordinates; ONE float dataflow for slope/intercept). top_n=30
+    against the ~31-type synthetic vocabulary."""
+    from kg_microbe_spark.operators.heavyhitters import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), "text", top_n=30)
+
+
+_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+r AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk, c FROM cnt),
+p AS (SELECT CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM r WHERE rk <= 30),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM p)
+SELECT n_terms, sx, sy, sxy, sxx,
+       CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                       6) + 0e0 END AS slope,
+       CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN ROUND((CAST(sy AS DOUBLE)
+                        - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n_terms AS DOUBLE), 6) + 0e0 END AS intercept
+FROM m
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -9949,6 +10051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "markov_transitions": q_markov_transitions,
+        "gopher_quality": q_gopher_quality,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -10158,4 +10262,6 @@ e AS (
         "event_funnel": _EVENT_FUNNEL_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "markov_transitions": _MARKOV_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "zipf_slope": _ZIPF_SQL,
     }

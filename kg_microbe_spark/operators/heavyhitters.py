@@ -183,3 +183,76 @@ def vocab_coverage(
         F.col("_r.covered").alias("covered"),
         F.round(F.col("_r.covered") / F.col("_tot"), 6).alias("coverage"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str,
+    top_n: int = 1000,
+) -> DataFrame:
+    """OLS fit of ln(count) against ln(rank) over the top-``top_n``
+    token types — the Zipf exponent. Natural language sits near slope
+    −1; machine-generated/boilerplate corpora flatten (hot types too
+    even) or steepen (template spam), so the slope is a cheap corpus-
+    health dial next to ``vocab_coverage``'s curve.
+
+    Determinism: ranks use the (count DESC, token ASC) total order;
+    per-term regression coordinates are integerized IN-ROW as
+    floor(1e6·ln(rank)) / floor(1e6·ln(count)) BIGINTs, so all five
+    moment sums are exact integers (products ≤ ~2e14 per row — far
+    inside 2^63 for any top_n the histogram can hold). ln runs on
+    integer-valued doubles only (libm/JVM parity). The slope and
+    intercept are ONE fixed float dataflow from those exact moments,
+    rounded to 6 dp.
+
+    Scale shape: one combinable token count collapses the corpus to
+    its vocabulary; the rank window runs over that bounded histogram
+    (the vocab_coverage pattern); the regression is a keyless
+    aggregation of the ≤ top_n ranked rows. Output: one row
+    (n_terms, sx, sy, sxy, sxx, slope, intercept).
+    """
+    if top_n < 2:
+        raise ValueError(f"top_n must be ≥ 2, got {top_n}")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("t").asc()))
+        .alias("rk"),
+        F.col("c"),
+    ).filter(F.col("rk") <= top_n)
+    x = F.floor(F.log(F.col("rk").cast("double")) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("c").cast("double")) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    pts = ranked.select(x.alias("_x"), y.alias("_y"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy, dsxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n * dsxx - dsx * dsx
+    slope = (n * dsxy - dsx * dsy) / denom
+    return m.select(
+        "n_terms",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.when(denom != 0, F.round(slope, 6)).alias("slope"),
+        F.when(denom != 0, F.round((dsy - slope * dsx) / n, 6)).alias(
+            "intercept"
+        ),
+    )
