@@ -9743,6 +9743,202 @@ FROM m
 
 
 
+def _er_entities(spark, sf_dir):
+    """Shared fixture for the linkage entries: 240 synthetic entities =
+    40 real-world bases x up to 6 surface variants. Variants 1/3 append
+    vowels (skeleton-invariant), variant 5 takes an 'x' alias prefix
+    (skeleton-BREAKING — the pairs blocking must miss); city noise on
+    every 5th m, phone noise on every 3rd."""
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 240).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    base = m % 40
+    variant = F.expr("m div 40")
+    cons = F.array(*[F.lit(c) for c in "bcdfghjk"])
+    stem = F.concat(
+        F.lit("ent"),
+        F.element_at(cons, (base % 8 + 1).cast("int")),
+        F.element_at(cons, ((F.expr("(m % 40) div 8") % 8) + 1).cast("int")),
+    )
+    name = (
+        F.when(variant == 5, F.concat(F.lit("x"), stem))
+        .when(variant % 2 == 1, F.concat(stem, F.lit("aio")))
+        .otherwise(stem)
+    )
+    city = F.concat(
+        F.lit("c"),
+        (
+            (base + F.when(m % 5 == 0, 1).otherwise(0)) % 7
+        ).cast("string"),
+    )
+    phone = ((base * 7919 + F.when(m % 3 == 0, 1).otherwise(0)) % 10000).cast(
+        "long"
+    )
+    return ms.select(
+        m.cast("long").alias("ent_id"),
+        name.alias("name"),
+        city.alias("city"),
+        phone.alias("phone"),
+        base.cast("long").alias("gold_base"),
+    )
+
+
+_ER_ENTITIES_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 240 AS INT) AS m FROM documents),
+ents AS (
+  SELECT CAST(m AS BIGINT) AS ent_id,
+         CAST(m % 40 AS BIGINT) AS gold_base,
+         CASE WHEN m // 40 = 5
+              THEN 'x' || 'ent'
+                   || ['b','c','d','f','g','h','j','k'][(m % 40) % 8 + 1]
+                   || ['b','c','d','f','g','h','j','k'][((m % 40) // 8) % 8 + 1]
+              WHEN (m // 40) % 2 = 1
+              THEN 'ent'
+                   || ['b','c','d','f','g','h','j','k'][(m % 40) % 8 + 1]
+                   || ['b','c','d','f','g','h','j','k'][((m % 40) // 8) % 8 + 1]
+                   || 'aio'
+              ELSE 'ent'
+                   || ['b','c','d','f','g','h','j','k'][(m % 40) % 8 + 1]
+                   || ['b','c','d','f','g','h','j','k'][((m % 40) // 8) % 8 + 1]
+         END AS name,
+         'c' || CAST(((m % 40) + CASE WHEN m % 5 = 0 THEN 1 ELSE 0 END) % 7
+                     AS VARCHAR) AS city,
+         CAST(((m % 40) * 7919 + CASE WHEN m % 3 = 0 THEN 1 ELSE 0 END)
+              % 10000 AS BIGINT) AS phone
+  FROM ms
+),
+keyed AS (
+  SELECT ent_id, name, city, phone, gold_base,
+         substr(regexp_replace(lower(name), '[^a-z]', '', 'g'), 1, 1)
+         || substr(regexp_replace(
+                substr(regexp_replace(lower(name), '[^a-z]', '', 'g'), 2),
+                '[aeiou]', '', 'g'), 1, 5) AS bk
+  FROM ents
+)"""
+
+
+def q_fs_linkage(spark, sf_dir):
+    """Skeleton-key blocking + Fellegi-Sunter scoring — executes the
+    SHIPPED ``skeleton_blocking_pairs`` (size-capped same-key
+    self-equi-join over the RE2-portable consonant-skeleton key) and
+    ``fellegi_sunter_scores`` (exact BIGINT microbit sum over
+    name/city/phone agreement, NULL-safe) end to end
+    (operators/entity_resolution.py)."""
+    from kg_microbe_spark.operators.entity_resolution import (
+        fellegi_sunter_scores,
+        skeleton_blocking_pairs,
+    )
+
+    ents = _er_entities(spark, sf_dir)
+    pairs = skeleton_blocking_pairs(ents, "ent_id", "name", max_block_size=50)
+    a = ents.select(
+        F.col("ent_id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("city").alias("city_a"),
+        F.col("phone").alias("phone_a"),
+    )
+    b = ents.select(
+        F.col("ent_id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("city").alias("city_b"),
+        F.col("phone").alias("phone_b"),
+    )
+    wide = pairs.join(a, "id_a").join(b, "id_b")
+    scored = fellegi_sunter_scores(
+        wide,
+        [
+            ("name_a", "name_b", 4_000_000, -500_000),
+            ("city_a", "city_b", 2_000_000, -1_500_000),
+            ("phone_a", "phone_b", 3_000_000, -2_500_000),
+        ],
+        threshold_microbits=3_000_000,
+    )
+    return scored.select(
+        "block_key", "id_a", "id_b", "fs_score", "is_match"
+    )
+
+
+_FS_LINKAGE_SQL = _ER_ENTITIES_SQL + """,
+census AS (
+  SELECT bk FROM keyed GROUP BY bk
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50
+),
+inb AS (SELECT k.* FROM keyed k JOIN census USING (bk)),
+pairs AS (
+  SELECT a.bk AS block_key, a.ent_id AS id_a, b.ent_id AS id_b,
+         a.name AS name_a, b.name AS name_b,
+         a.city AS city_a, b.city AS city_b,
+         a.phone AS phone_a, b.phone AS phone_b
+  FROM inb a JOIN inb b ON a.bk = b.bk AND a.ent_id < b.ent_id
+),
+scored AS (
+  SELECT block_key, id_a, id_b,
+         CAST(CASE WHEN name_a = name_b THEN 4000000 ELSE -500000 END
+              + CASE WHEN city_a = city_b THEN 2000000 ELSE -1500000 END
+              + CASE WHEN phone_a = phone_b THEN 3000000 ELSE -2500000 END
+              AS BIGINT) AS fs_score
+  FROM pairs
+)
+SELECT block_key, id_a, id_b, fs_score,
+       fs_score >= 3000000 AS is_match
+FROM scored
+"""
+
+
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking-quality audit WITHOUT pair materialization — executes
+    the SHIPPED ``blocking_metrics`` (candidate count from the block
+    census Σ b·(b−1)/2, completeness from two id-keyed joins of the
+    gold pairs; scalar frames combine via broadcast keyless
+    aggregates). Gold = same-base pairs; the 'x'-alias variant 5
+    deliberately escapes its block so completeness < 1 at sf0.01."""
+    from kg_microbe_spark.operators.entity_resolution import (
+        blocking_metrics,
+        skeleton_key,
+    )
+
+    ents = _er_entities(spark, sf_dir)
+    l = ents.select(F.col("ent_id").alias("id_a"), F.col("gold_base").alias("_ba"))
+    r = ents.select(F.col("ent_id").alias("id_b"), F.col("gold_base").alias("_bb"))
+    gold = (
+        l.join(r, F.col("_ba") == F.col("_bb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return blocking_metrics(ents, "ent_id", skeleton_key(F.col("name")), gold)
+
+
+_BLOCKING_METRICS_SQL = _ER_ENTITIES_SQL + """,
+census AS (SELECT bk, COUNT(*) AS b FROM keyed GROUP BY bk),
+cand AS (SELECT CAST(SUM(b * (b - 1)) // 2 AS BIGINT) AS n_candidate_pairs
+         FROM census),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_total_pairs
+        FROM keyed),
+gold AS (
+  SELECT a.ent_id AS id_a, b.ent_id AS id_b,
+         a.bk AS ka, b.bk AS kb
+  FROM keyed a JOIN keyed b
+    ON a.gold_base = b.gold_base AND a.ent_id < b.ent_id
+),
+gc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold,
+              CAST(SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gold_covered
+       FROM gold)
+SELECT n_entities, n_candidate_pairs, n_total_pairs, n_gold, n_gold_covered,
+       ROUND(1e0 - n_candidate_pairs / CAST(n_total_pairs AS DOUBLE), 6)
+           + 0e0 AS reduction_ratio,
+       CASE WHEN n_gold > 0
+            THEN ROUND(n_gold_covered / CAST(n_gold AS DOUBLE), 6) + 0e0
+            END AS pairs_completeness
+FROM tot CROSS JOIN cand CROSS JOIN gc
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -10053,6 +10249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "gopher_quality": q_gopher_quality,
         "zipf_slope": q_zipf_slope,
+        "fs_linkage": q_fs_linkage,
+        "blocking_metrics": q_blocking_metrics,
     }
 
 
@@ -10264,4 +10462,6 @@ e AS (
         "markov_transitions": _MARKOV_SQL,
         "gopher_quality": _GOPHER_SQL,
         "zipf_slope": _ZIPF_SQL,
+        "fs_linkage": _FS_LINKAGE_SQL,
+        "blocking_metrics": _BLOCKING_METRICS_SQL,
     }
