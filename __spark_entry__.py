@@ -9939,6 +9939,224 @@ FROM tot CROSS JOIN cand CROSS JOIN gc
 
 
 
+def q_numeric_correlations(spark, sf_dir):
+    """Pairwise Pearson matrix — executes the SHIPPED
+    ``numeric_correlations`` (operators/stats.py: ALL pair moments as
+    exact BIGINT sums in ONE combinable keyless aggregation — one fact
+    pass; r is one float dataflow from the exact moments). Caller-side
+    integerization: quantity/discount ×100, price floored to whole
+    units (documented overflow contract n·maxv² < 2^63 holds to sf≥1).
+    """
+    from kg_microbe_spark.operators.stats import numeric_correlations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_correlations(
+        li,
+        [
+            ("quantity", F.floor(F.col("l_quantity") * 100)),
+            ("price", F.floor(F.col("l_extendedprice"))),
+            ("discount", F.floor(F.col("l_discount") * 100)),
+        ],
+    )
+
+
+_NUMCORR_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS v0,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS v1,
+         CAST(FLOOR(l_discount * 100) AS BIGINT) AS v2
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v0) AS BIGINT) AS s0, CAST(SUM(v0 * v0) AS BIGINT) AS q0,
+         CAST(SUM(v1) AS BIGINT) AS s1, CAST(SUM(v1 * v1) AS BIGINT) AS q1,
+         CAST(SUM(v2) AS BIGINT) AS s2, CAST(SUM(v2 * v2) AS BIGINT) AS q2,
+         CAST(SUM(v0 * v1) AS BIGINT) AS p01,
+         CAST(SUM(v0 * v2) AS BIGINT) AS p02,
+         CAST(SUM(v1 * v2) AS BIGINT) AS p12
+  FROM v
+)
+SELECT 'quantity' AS col_a, 'price' AS col_b, n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE)
+                        - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                               - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))),
+                       6) + 0e0 END AS r
+FROM m
+UNION ALL
+SELECT 'quantity', 'discount', n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE)
+                        - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                               - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
+                       6) + 0e0 END
+FROM m
+UNION ALL
+SELECT 'price', 'discount', n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
+                       6) + 0e0 END
+FROM m
+"""
+
+
+def q_h_index_suppliers(spark, sf_dir):
+    """Per-supplier h-index over shipped quantities — executes the
+    SHIPPED ``h_index_per_key`` (operators/stats.py: ONE key-partitioned
+    rank window + combinable max of least(value, rank); h is invariant
+    under rank-tie permutation because tied values are equal)."""
+    from kg_microbe_spark.operators.stats import h_index_per_key
+
+    return h_index_per_key(_t(spark, sf_dir, "lineitem"), "l_suppkey", "l_quantity")
+
+
+_H_INDEX_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         LEAST(CAST(l_quantity AS BIGINT),
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_quantity DESC)) AS h
+  FROM lineitem
+)
+SELECT l_suppkey, CAST(GREATEST(MAX(h), 0) AS BIGINT) AS h_index
+FROM r GROUP BY l_suppkey
+"""
+
+
+def q_path_ngrams(spark, sf_dir):
+    """Top-15 3-step user journeys — executes the SHIPPED
+    ``path_ngrams`` (operators/temporal.py: ONE key-partitioned window
+    for the n-1 leads, combinable groupBy over the |states|^3-bounded
+    path vocabulary, rank window over THAT histogram only)."""
+    from kg_microbe_spark.operators.temporal import path_ngrams
+
+    return path_ngrams(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        n=3,
+        top_k=15,
+    )
+
+
+_PATH_NGRAMS_SQL = """
+WITH o AS (
+  SELECT event_type AS s0,
+         LEAD(event_type, 1) OVER w AS s1,
+         LEAD(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+h AS (
+  SELECT s0 || '>' || s1 || '>' || s2 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM o WHERE s2 IS NOT NULL GROUP BY 1
+),
+r AS (SELECT path, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path ASC) AS rk
+      FROM h)
+SELECT path, n_occurrences FROM r WHERE rk <= 15
+"""
+
+
+def q_longest_prefix_match(spark, sf_dir):
+    """URL-policy longest-prefix routing — executes the SHIPPED
+    ``longest_prefix_match`` (operators/prefix_match.py: per distinct
+    rule LENGTH one substr projection + hash equi-join against the
+    broadcast rule side, winner via combinable max_by — never a
+    LIKE-prefix nested loop). Rules from nation: host rules for hosts
+    0-9 (hosts 10-12 exercise the unmatched NULL branch), deeper
+    per-path deny rules for hosts 0-7."""
+    from kg_microbe_spark.operators.prefix_match import longest_prefix_match
+
+    docs = _t(spark, sf_dir, "documents")
+    facts = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com/p"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("/q"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    host_rules = nation.filter(nk < 10).select(
+        F.concat(
+            F.lit("http://h"), nk.cast("string"), F.lit(".example.com/")
+        ).alias("prefix"),
+        F.concat(F.lit("allow-h"), nk.cast("string")).alias("action"),
+    )
+    deep_rules = nation.filter(nk < 8).select(
+        F.concat(
+            F.lit("http://h"),
+            nk.cast("string"),
+            F.lit(".example.com/p"),
+            nk.cast("string"),
+            F.lit("/"),
+        ).alias("prefix"),
+        F.concat(F.lit("deny-p"), nk.cast("string")).alias("action"),
+    )
+    rules = host_rules.unionByName(deep_rules)
+    return longest_prefix_match(
+        facts, "url", rules, "prefix", rule_lengths=[22, 25]
+    )
+
+
+_PREFIX_MATCH_SQL = """
+WITH f AS (
+  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p'
+         || CAST(doc_id % 40 AS VARCHAR) || '/q' || CAST(doc_id AS VARCHAR)
+             AS url
+  FROM documents
+),
+rules AS (
+  SELECT 'http://h' || CAST(n_nationkey AS VARCHAR) || '.example.com/' AS pfx,
+         'allow-h' || CAST(n_nationkey AS VARCHAR) AS action
+  FROM nation WHERE n_nationkey < 10
+  UNION ALL
+  SELECT 'http://h' || CAST(n_nationkey AS VARCHAR) || '.example.com/p'
+         || CAST(n_nationkey AS VARCHAR) || '/',
+         'deny-p' || CAST(n_nationkey AS VARCHAR)
+  FROM nation WHERE n_nationkey < 8
+),
+best AS (
+  SELECT f.url, r.pfx, r.action,
+         ROW_NUMBER() OVER (PARTITION BY f.url
+                            ORDER BY length(r.pfx) DESC) AS rk
+  FROM f JOIN rules r ON substr(f.url, 1, length(r.pfx)) = r.pfx
+)
+SELECT f.url, b.pfx AS matched_prefix, b.action
+FROM f LEFT JOIN (SELECT url, pfx, action FROM best WHERE rk = 1) b
+  USING (url)
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -10251,6 +10469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "fs_linkage": q_fs_linkage,
         "blocking_metrics": q_blocking_metrics,
+        "numeric_correlations": q_numeric_correlations,
+        "h_index_suppliers": q_h_index_suppliers,
+        "path_ngrams": q_path_ngrams,
+        "longest_prefix_match": q_longest_prefix_match,
     }
 
 
@@ -10464,4 +10686,8 @@ e AS (
         "zipf_slope": _ZIPF_SQL,
         "fs_linkage": _FS_LINKAGE_SQL,
         "blocking_metrics": _BLOCKING_METRICS_SQL,
+        "numeric_correlations": _NUMCORR_SQL,
+        "h_index_suppliers": _H_INDEX_SQL,
+        "path_ngrams": _PATH_NGRAMS_SQL,
+        "longest_prefix_match": _PREFIX_MATCH_SQL,
     }

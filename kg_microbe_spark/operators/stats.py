@@ -8,7 +8,7 @@ predicate, category, provided_by, and spo-triple type in one shuffle each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -314,4 +314,102 @@ def kmv_distinct(
         F.when(F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double"))
         .otherwise(F.round(est, 6))
         .alias("est_distinct"),
+    )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    cols: list[tuple[str, Column]],
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over pre-integerized numeric
+    columns — the column-profiling companion (which measurement columns
+    in a scraped table are redundant? which extracted quantitative
+    trait tracks which?) to ``profile_columns``'s per-column pass.
+
+    ``cols`` is a list of (name, integer-valued Column): the CALLER
+    integerizes (floor(scale·x)) because the right scale is per-column
+    domain knowledge. All five moments per pair (n, Σa, Σb, Σab, Σa²,
+    Σb²) are exact BIGINT sums in ONE combinable keyless aggregation —
+    one fact pass for ALL pairs, no shuffle beyond the aggregate's
+    single-row reduce. Overflow contract (documented, asserted nowhere
+    cheaper): n·max(|v|)² must stay < 2^63 — pick scales accordingly.
+    r is ONE float dataflow from the exact moments, rounded to 6 dp;
+    constant columns (zero variance) report NULL. Output: one row per
+    unordered pair (col_a, col_b, n, r).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    proj = df.select(
+        *[c.cast("long").alias(f"_v{i}") for i, (_, c) in enumerate(cols)]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i in range(len(cols)):
+        v = F.col(f"_v{i}")
+        aggs.append(F.sum(v).cast("long").alias(f"_s{i}"))
+        aggs.append(F.sum(v * v).cast("long").alias(f"_q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"_v{i}") * F.col(f"_v{j}"))
+                .cast("long")
+                .alias(f"_p{i}_{j}")
+            )
+    one = proj.agg(*aggs)
+    pair_rows = []
+    n = F.col("_n").cast("double")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sa, sb = F.col(f"_s{i}").cast("double"), F.col(f"_s{j}").cast("double")
+            qa, qb = F.col(f"_q{i}").cast("double"), F.col(f"_q{j}").cast("double")
+            sab = F.col(f"_p{i}_{j}").cast("double")
+            var_a = n * qa - sa * sa
+            var_b = n * qb - sb * sb
+            cov = n * sab - sa * sb
+            r = F.when(
+                (var_a > 0) & (var_b > 0),
+                F.round(cov / F.sqrt(var_a * var_b), 6),
+            )
+            pair_rows.append(
+                F.struct(
+                    F.lit(cols[i][0]).alias("col_a"),
+                    F.lit(cols[j][0]).alias("col_b"),
+                    F.col("_n").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return one.select(
+        F.explode(F.array(*pair_rows)).alias("_row")
+    ).select("_row.col_a", "_row.col_b", "_row.n", "_row.r")
+
+
+def h_index_per_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key h-index: the largest k such that the key has ≥ k rows
+    with value ≥ k (Hirsch 2005) — the robust "how many STRONG links"
+    summary for a link graph (a domain's h-index over per-page inlink
+    counts resists both hub spam and long thin tails, unlike sum or
+    max). Keys with no row where value ≥ 1 report h = 0.
+
+    Scale shape: ONE window partitioned by the key ordering values
+    DESC (rank ties broken by the value itself are harmless: the
+    h condition min(rank-th value, rank) is monotone), then a
+    combinable groupBy(key).max(min(value, rank)). The window's
+    per-key sort is the unavoidable cost; no self-join, no global
+    sort. Returns (key, h_index).
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("long")
+    w = W.partitionBy(F.col(key_col)).orderBy(v.desc())
+    ranked = df.select(
+        F.col(key_col).alias("_k"),
+        F.least(v, F.row_number().over(w).cast("long")).alias("_h"),
+    )
+    return (
+        ranked.groupBy("_k")
+        .agg(F.greatest(F.max("_h"), F.lit(0).cast("long")).alias("h_index"))
+        .select(F.col("_k").alias(key_col), "h_index")
     )

@@ -688,3 +688,57 @@ def markov_transitions(
         "n_transitions",
         F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("p"),
     )
+
+
+def path_ngrams(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most common length-``n`` state paths across all keys —
+    the "common user journeys" report (view>click>purchase) that
+    ``markov_transitions`` (first-order) can't see, and on a crawl the
+    dominant fetch->parse->error signatures per source.
+
+    Paths are consecutive runs WITHIN a key's (ts, tiebreak)-ordered
+    stream; runs never cross keys because the leads are evaluated over
+    the key-partitioned window (trailing rows with <n successors emit
+    no path). Determinism: same tiebreaker contract as
+    markov_transitions; top-k orders by (count DESC, path ASC).
+
+    Scale shape: ONE key-partitioned window evaluates the n-1 leads,
+    one combinable groupBy over the |states|^n-bounded path vocabulary,
+    and the top-k rank window runs over THAT bounded histogram (the
+    vocab_coverage pattern) — never over the fact stream. Returns
+    (path, n_occurrences).
+    """
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2, got {n}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        us.asc(), F.col(tiebreak_col).asc()
+    )
+    steps = [F.col(state_col)] + [
+        F.lead(F.col(state_col), i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(F.col(state_col), n - 1).over(w).isNotNull()
+    hist = (
+        events.select(path.alias("path"), complete.alias("_ok"))
+        .filter(F.col("_ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    ranked = hist.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        )
+        .alias("_rk"),
+    )
+    return ranked.filter(F.col("_rk") <= top_k).select("path", "n_occurrences")
