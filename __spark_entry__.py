@@ -10157,6 +10157,121 @@ FROM f LEFT JOIN (SELECT url, pfx, action FROM best WHERE rk = 1) b
 
 
 
+def q_flesch_scores(spark, sf_dir):
+    """Flesch reading ease — executes the SHIPPED ``flesch_scores``
+    (operators/quality_rules.py: RE2-portable regex counts, ONE float
+    dataflow from three exact integers). Even doc_ids get ". "-joined
+    words so the multi-sentence branch carries real rows; odd docs
+    exercise the max(1, runs) floor."""
+    from kg_microbe_spark.operators.quality_rules import flesch_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.replace(F.col("text"), F.lit(" "), F.lit(". ")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return flesch_scores(docs, "doc_id", "text")
+
+
+_FLESCH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', '. ')
+              ELSE text END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)),
+                       6) + 0e0 END AS flesch
+FROM c
+"""
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules — executes the SHIPPED
+    ``assoc_rules`` (operators/collocations.py: map-side-collapsing
+    (basket,item) distinct, same-basket self-equi-join with Σ b²
+    fan-out, hub-item guard available, exact BIGINT counts). Baskets =
+    orders, items = part families (l_partkey mod 50), min pair count
+    3."""
+    from kg_microbe_spark.operators.collocations import assoc_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.concat(F.lit("i"), (F.col("l_partkey") % 50).cast("string")).alias(
+            "item"
+        ),
+    )
+    return assoc_rules(li, "basket", "item", min_pair_count=3)
+
+
+_ASSOC_SQL = """
+WITH fact AS (
+  SELECT DISTINCT l_orderkey AS b,
+         'i' || CAST(l_partkey % 50 AS VARCHAR) AS i
+  FROM lineitem
+),
+ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM fact GROUP BY i),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+p AS (
+  SELECT a.i AS item_a, bb.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM fact a JOIN fact bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT item_a, item_b, n_ab, ca.n_i AS n_a, cb.n_i AS n_b,
+       ROUND(n_ab / CAST(n AS DOUBLE), 6) + 0e0 AS support,
+       ROUND(n_ab / CAST(ca.n_i AS DOUBLE), 6) + 0e0 AS conf_a_to_b,
+       ROUND(n_ab / CAST(cb.n_i AS DOUBLE), 6) + 0e0 AS conf_b_to_a,
+       ROUND((CAST(n AS DOUBLE) * CAST(n_ab AS DOUBLE))
+             / (CAST(ca.n_i AS DOUBLE) * CAST(cb.n_i AS DOUBLE)), 6)
+           + 0e0 AS lift
+FROM p
+JOIN ic ca ON ca.i = p.item_a
+JOIN ic cb ON cb.i = p.item_b
+CROSS JOIN nb
+"""
+
+
+def q_percentile_normalize(spark, sf_dir):
+    """Cross-source percentile normalization — executes the SHIPPED
+    ``percentile_normalize`` (operators/calibration.py: ONE
+    group-partitioned percent_rank window; ties share a pct so no
+    tiebreaker needed). documents n_chars within source."""
+    from kg_microbe_spark.operators.calibration import percentile_normalize
+
+    return percentile_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+_PCT_NORM_SQL = """
+SELECT doc_id, text, lang, source, n_chars,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars ASC),
+             6) + 0e0 AS pct
+FROM documents
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
     # 50 entries of this insertion-ordered dict (VERDICT r4 "Next-round #1").
@@ -10473,6 +10588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_index_suppliers": q_h_index_suppliers,
         "path_ngrams": q_path_ngrams,
         "longest_prefix_match": q_longest_prefix_match,
+        "flesch_scores": q_flesch_scores,
+        "assoc_rules": q_assoc_rules,
+        "percentile_normalize": q_percentile_normalize,
     }
 
 
@@ -10690,4 +10808,7 @@ e AS (
         "h_index_suppliers": _H_INDEX_SQL,
         "path_ngrams": _PATH_NGRAMS_SQL,
         "longest_prefix_match": _PREFIX_MATCH_SQL,
+        "flesch_scores": _FLESCH_SQL,
+        "assoc_rules": _ASSOC_SQL,
+        "percentile_normalize": _PCT_NORM_SQL,
     }

@@ -228,3 +228,32 @@ def isotonic_calibration(
             "calibrated",
         )
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Within-group percentile normalization: append each row's
+    percent_rank of ``value_col`` inside its ``group_col`` — the
+    cross-source score equalizer (extractor A's confidences cluster at
+    0.9, B's at 0.5; their PERCENTILES are comparable, so downstream
+    thresholds and fusions operate on pct, not raw score).
+
+    Semantics: percent_rank = (rank − 1)/(n − 1) with ties sharing a
+    rank — tied values get IDENTICAL pct regardless of physical order,
+    so the output is deterministic without a tiebreaker; single-row
+    groups report 0.0 (both engines define 0/0 as 0 here). 6 dp.
+
+    Scale shape: ONE window partitioned by the group — the natural
+    shuffle key. Skewed groups pay their own sort; at 100 TB a
+    hot-group variant goes through the histogram-CDF path
+    (histogram_cutoff) instead of an exact rank.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.col(group_col)).orderBy(F.col(value_col).asc())
+    return df.select(
+        "*", F.round(F.percent_rank().over(w), 6).alias("pct")
+    )

@@ -246,3 +246,82 @@ def llr_bigrams(
         + _xlogx(F.col("_n"))
     )
     return j.select("w1", "w2", "n", F.round(llr, 6).alias("llr"))
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_item_frequency: int | None = None,
+) -> DataFrame:
+    """Association-rule mining over (basket, item) facts — support,
+    both directed confidences, and lift per co-occurring item pair
+    (Agrawal et al. 1993, restricted to the 1-item-antecedent rules
+    that cover the KG use: "pages mentioning entity A also mention B",
+    "orders with part-family X carry Y").
+
+    Scale shape: the (basket, item) distinct collapses map-side; pair
+    generation is the same-basket self-equi-join (item_a < item_b),
+    whose fan-out is Σ b_k² over basket sizes — bounded by the basket
+    cardinality, never |items|²; ``max_item_frequency`` is the
+    pairwise_jaccard-style hub-item guard (an item in half the baskets
+    makes every pair "associated" and dominates Σ b²; drop it BEFORE
+    the join). Supports/counts stay exact BIGINT; support, confidences
+    and lift are single float dataflows (lift's n·n_ab/(n_a·n_b)
+    multiplies exact integers inside the double). min_pair_count
+    prunes the pair tail before the dimension joins. Returns
+    (item_a, item_b, n_ab, n_a, n_b, support, conf_a_to_b, conf_b_to_a,
+    lift), 6 dp floats.
+    """
+    fact = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    item_counts = fact.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_i")
+    )
+    if max_item_frequency is not None:
+        keep = item_counts.filter(F.col("_n_i") <= max_item_frequency)
+        fact = fact.join(keep.select("_i"), "_i")
+        item_counts = keep
+    n_baskets = F.broadcast(
+        baskets.select(F.col(basket_col).alias("_b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    left = fact.select("_b", F.col("_i").alias("item_a"))
+    right = fact.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("_i").alias("item_a"), F.col("_n_i").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("_i").alias("item_b"), F.col("_n_i").alias("n_b")
+    )
+    j = pairs.join(ca, "item_a").join(cb, "item_b").crossJoin(n_baskets)
+    nd = F.col("_n").cast("double")
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_ab") / nd, 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
+            "conf_b_to_a"
+        ),
+        F.round(
+            (nd * F.col("n_ab").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )

@@ -115,3 +115,46 @@ def gopher_quality_flags(
             & flag_symbol
         ).alias("passes"),
     )
+
+
+def flesch_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948: 206.835 −
+    1.015·words/sentences − 84.6·syllables/words) — the readability
+    dial quality pipelines report beside the Gopher gates (template
+    spam scores implausibly high; OCR soup implausibly low).
+
+    Approximations, chosen for ENGINE PORTABILITY (both sides are
+    RE2-safe regex counts, so the DuckDB oracle replays them exactly):
+    sentences = max(1, number of [.!?]+ runs); syllables = number of
+    [aeiouy]+ runs in the lowercased text (vowel runs never span
+    whitespace, so the whole-text count equals the per-word sum).
+    The score is ONE float dataflow from three exact integer counts,
+    rounded to 6 dp; empty documents report NULL.
+
+    Pure codegen projection — zero shuffles, zero UDFs.
+    """
+    text = F.col(text_col)
+    n_words = F.size(_words(text)).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(n_words > 0, F.round(score, 6)).alias("flesch"),
+    )
