@@ -10271,6 +10271,190 @@ FROM documents
 """
 
 
+def q_hll_register_distinct(spark, sf_dir):
+    """HyperLogLog register-merge cardinality — executes the SHIPPED
+    ``hll_distinct`` (operators/stats.py: portable md5-60-bit hash split
+    into register index + bitlength rank, TWO combinable groupBys, no
+    window, no pre-distinct — the mergeable 100-TB counterpart of
+    kmv_distinct). Fixture mirrors the KMV entry's (5 groups × ~80
+    distinct values), small enough that every group takes the
+    linear-counting correction branch; the oracle replays hash,
+    registers, the exact power-of-two register sum, and the correction
+    arithmetic bit-for-bit."""
+    from kg_microbe_spark.operators.stats import hll_distinct
+
+    ms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 400).cast("int").alias("m"))
+        .distinct()
+    )
+    m = F.col("m")
+    fx = ms.select(
+        F.concat(F.lit("g"), (m % 5).cast("string")).alias("grp"),
+        F.concat(F.lit("v"), (m % 97).cast("string")).alias("val"),
+    )
+    return hll_distinct(fx, "grp", "val", p=6)
+
+
+# p=6: m=64 registers, 54-bit remainder, alpha=0.709 (stats.hll_alpha)
+_HLL_SQL = """
+WITH ms AS (SELECT DISTINCT CAST(doc_id % 400 AS INT) AS m FROM documents),
+fx AS (
+  SELECT 'g' || CAST(m % 5 AS VARCHAR) AS grp,
+         'v' || CAST(m % 97 AS VARCHAR) AS val
+  FROM ms
+),
+jw AS (
+  SELECT grp,
+         CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) % 64 AS j,
+         CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) // 64 AS w
+  FROM fx
+),
+regs AS (
+  SELECT grp, j,
+         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS M
+  FROM jw GROUP BY grp, j
+),
+agg AS (
+  SELECT grp, SUM(POWER(2.0, -M)) AS s, COUNT(*) AS nz FROM regs GROUP BY grp
+)
+SELECT grp,
+       CAST(64 - nz AS BIGINT) AS n_zero_registers,
+       ROUND(CASE WHEN (0.709 * 64 * 64) / (s + (64 - nz)) <= 160.0
+                   AND (64 - nz) > 0
+                  THEN 64.0 * ln(64.0 / (64 - nz))
+                  ELSE (0.709 * 64 * 64) / (s + (64 - nz)) END,
+             6) AS est_distinct
+FROM agg
+"""
+
+
+def q_maximal_independent_set(spark, sf_dir):
+    """Luby MIS, round-1 winner set — executes the SHIPPED
+    ``luby_mis_round`` (operators/components.py: deterministic
+    (md5-60-bit hash, id) priority, winners = strict local minima via
+    ONE combinable groupBy-min over the bidirectional edges + one
+    equi-join; the full iterated ``luby_mis`` is property-tested for
+    independence AND maximality in tests/test_r5_hll_mis_gapfill_
+    butterfly.py — this is its SQL-checkable slice). Fixture: a
+    deterministic 60-vertex scramble graph derived from doc_ids."""
+    from kg_microbe_spark.operators.components import luby_mis_round
+
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 60).cast("string")).alias("src"),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 13 + 7) % 60).cast("string")
+        ).alias("dst"),
+    )
+    return luby_mis_round(e)
+
+
+_MIS_SQL = """
+WITH raw AS (
+  SELECT 'd' || CAST(doc_id % 60 AS VARCHAR) AS a,
+         'd' || CAST((doc_id * 13 + 7) % 60 AS VARCHAR) AS b
+  FROM documents
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+),
+bid AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+pri AS (
+  SELECT u, CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT u FROM bid)
+)
+SELECT p.u AS node,
+       NOT EXISTS (
+         SELECT 1 FROM bid JOIN pri q ON q.u = bid.v
+         WHERE bid.u = p.u
+           AND (q.h < p.h OR (q.h = p.h AND bid.v < p.u))
+       ) AS selected
+FROM pri p
+"""
+
+
+def q_gapfill_events(spark, sf_dir):
+    """Time-series gap-fill + resample — executes the SHIPPED
+    ``gapfill_resample`` (operators/temporal.py: combinable per-bucket
+    MAX, post-aggregation sequence() explode so amplification is grid
+    rows per KEY not per event, one per-key window forward-fill).
+    Events downsampled to a daily grid over 5 user buckets; January
+    fixture → dense 30-row grids with real interior gaps for quiet
+    buckets."""
+    from kg_microbe_spark.operators.temporal import gapfill_resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")).alias(
+            "user_key"
+        ),
+        "ts",
+        "value",
+    )
+    return gapfill_resample(ev, "user_key", "ts", "value", unit="day")
+
+
+_GAPFILL_SQL = """
+WITH pb AS (
+  SELECT 'u' || CAST(user_id % 5 AS VARCHAR) AS k,
+         date_trunc('day', ts) AS bucket_ts,
+         MAX(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1 FROM pb GROUP BY k),
+grid AS (
+  SELECT k, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+),
+j AS (
+  SELECT g.k, g.bucket_ts, pb.value
+  FROM grid g LEFT JOIN pb ON pb.k = g.k AND pb.bucket_ts = g.bucket_ts
+)
+SELECT k AS user_key, bucket_ts, value,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       value IS NULL AS is_gap
+FROM j
+"""
+
+
+def q_butterfly_bipartite(spark, sf_dir):
+    """Bipartite butterfly/wedge motif counts — executes the SHIPPED
+    ``butterfly_count`` (operators/triangles.py: codegrees from ONE
+    right-keyed self-equi-join oriented l1<l2, scalars combined
+    join-free via a union of one-row partials; the hub-cap guard is
+    exercised in pytest). Bipartite layer: (user bucket, event_type)
+    co-occurrence."""
+    from kg_microbe_spark.operators.triangles import butterfly_count
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), (F.col("user_id") % 30).cast("string")).alias("l"),
+        F.col("event_type").alias("r"),
+    )
+    return butterfly_count(ev, "l", "r")
+
+
+_BUTTERFLY_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'u' || CAST(user_id % 30 AS VARCHAR) AS l, event_type AS r
+  FROM events
+),
+rdeg AS (SELECT r, COUNT(*) AS d FROM e GROUP BY r),
+pairs AS (
+  SELECT a.l AS l1, b.l AS l2, COUNT(*) AS c
+  FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+  GROUP BY 1, 2
+)
+SELECT CAST((SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM rdeg) AS BIGINT)
+         AS n_wedges,
+       CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM pairs) AS BIGINT)
+         AS n_butterflies,
+       CAST(0 AS BIGINT) AS n_rights_dropped
+"""
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the FIRST
@@ -10591,6 +10775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_scores": q_flesch_scores,
         "assoc_rules": q_assoc_rules,
         "percentile_normalize": q_percentile_normalize,
+        "hll_register_distinct": q_hll_register_distinct,
+        "maximal_independent_set": q_maximal_independent_set,
+        "gapfill_events": q_gapfill_events,
+        "butterfly_bipartite": q_butterfly_bipartite,
     }
 
 
@@ -10811,4 +10999,8 @@ e AS (
         "flesch_scores": _FLESCH_SQL,
         "assoc_rules": _ASSOC_SQL,
         "percentile_normalize": _PCT_NORM_SQL,
+        "hll_register_distinct": _HLL_SQL,
+        "maximal_independent_set": _MIS_SQL,
+        "gapfill_events": _GAPFILL_SQL,
+        "butterfly_bipartite": _BUTTERFLY_SQL,
     }

@@ -208,3 +208,129 @@ def condense_graph(
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
     return out
+
+
+def luby_mis_round(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_salt: str = "",
+) -> DataFrame:
+    """ONE round of Luby's maximal-independent-set algorithm (Luby 1986)
+    with a deterministic priority: a vertex joins the round's winner set
+    iff its (hash, id) pair is a strict local minimum over its surviving
+    neighborhood — the portable md5-60-bit hash stands in for Luby's
+    random draw, salted per round so a vertex unlucky in round r gets a
+    fresh draw in round r+1, and the id tie-break makes the winner set a
+    total function of the edge list (a SQL oracle reproduces it with one
+    anti-join; no RNG state to ship).
+
+    Scale shape: min-over-neighbors is ONE combinable
+    groupBy(vertex).min over the bidirectional edge list — map-side
+    partials absorb hub vertices (a 10^8-degree hub costs its owner
+    partition a single running min, not a window sort); winners fall out
+    of a single equi-join of that min back to the vertex's own priority.
+    Returns (node, selected) over all edge endpoints.
+    """
+    und = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    from kg_microbe_spark.operators.dedup import portable_hash60_col
+
+    def pri(col: str) -> F.Column:
+        return F.struct(
+            portable_hash60_col(F.concat(F.lit(round_salt), F.col(col))).alias("h"),
+            F.col(col).alias("id"),
+        )
+
+    b = _bidir(und)
+    # min neighbor priority per vertex, then compare with own priority
+    nmin = b.groupBy("u").agg(F.min(pri("v")).alias("_np"))
+    return nmin.select(
+        F.col("u").alias("node"),
+        (pri("u") < F.col("_np")).alias("selected"),
+    )
+
+
+def luby_mis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Full deterministic Luby MIS: iterate luby_mis_round, removing each
+    round's winners AND their neighbors from the surviving graph, until
+    no edges remain; surviving isolated vertices join the set. Expected
+    O(log n) rounds (each round removes ≥ half the edges in expectation
+    under Luby's analysis; the salted re-draw preserves that here in
+    practice), each round two shuffles — the same per-round cost profile
+    as connected_components' star steps, with the same localCheckpoint
+    lineage cut. Maximality/independence are property-tested; the
+    SQL-checkable round-1 slice is the driver entry
+    (``maximal_independent_set``).
+
+    Returns (node, in_mis) for every endpoint of the input edge list.
+    """
+    und = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    winners = spark.createDataFrame([], all_nodes.schema)
+    cur = und
+    for r in range(max_rounds):
+        if cur.isEmpty():
+            break
+        sel = (
+            luby_mis_round(cur, "u", "v", round_salt=f"r{r}|")
+            .filter("selected")
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        winners = winners.unionByName(sel).localCheckpoint(eager=True)
+        # drop winners and their neighbors: any edge touching a winner
+        # retires both the winner (in the set) and the neighbor (blocked)
+        b = _bidir(cur)
+        blocked = (
+            b.join(sel.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        gone = sel.unionByName(blocked).distinct()
+        cur = (
+            cur.join(gone.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(gone.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    # vertices never selected, never blocked, and not on a surviving edge
+    # are isolated by now → they join the MIS (maximality). If max_rounds
+    # fired before cur emptied, its endpoints stay OUT: independence is
+    # the hard invariant; maximality under the cap degrades exactly like
+    # connected_components' label upper-approximation, and 20 rounds ≫
+    # the O(log n) expectation for any real graph.
+    survivors = (
+        all_nodes.join(winners, "node", "left_anti")
+        .join(
+            _bidir(und)
+            .join(winners.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+        .join(
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+    )
+    mis = winners.unionByName(survivors)
+    return all_nodes.join(
+        mis.withColumn("in_mis", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))

@@ -413,3 +413,92 @@ def h_index_per_key(
         .agg(F.greatest(F.max("_h"), F.lit(0).cast("long")).alias("h_index"))
         .select(F.col("_k").alias(key_col), "h_index")
     )
+
+
+def hll_alpha(m: int) -> float:
+    """Standard bias-correction constant for an m-register HLL
+    (Flajolet et al. 2007 §4); a plan-build-time Python literal so a
+    SQL oracle can interpolate the identical constant."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-key distinct-count estimate via HyperLogLog register merge
+    (Flajolet et al. 2007) — the register form of what
+    ``approx_count_distinct`` runs natively; shipped separately because
+    (a) the REGISTERS are the mergeable sketch a 100-TB rollup stores
+    per partition/day and folds with a plain ``max`` per register, and
+    (b) this variant is engine-portable bit-for-bit: the md5-60-bit
+    hash (operators/dedup.py portable_hash60_col) splits into a low-p
+    register index and a (60-p)-bit remainder whose rank
+    rho = (60-p) - bitlength + 1 both Spark and DuckDB compute exactly
+    via ``length(bin(x))`` — no floating log2 in the hot path.
+
+    Unlike kmv_distinct (stats.py:258, the house exact-below-capacity
+    sketch), HLL needs NO per-key window and NO pre-distinct: the
+    register is max(rho), idempotent under duplicates, so the whole
+    operator is two combinable groupBys — (key, register) then (key) —
+    with map-side partial aggregation absorbing any hub key. That is
+    the strictly better 100-TB shape; KMV stays for exact small-key
+    counts.
+
+    The estimate applies the standard small-range linear-counting
+    correction (E ≤ 2.5m with empty registers → m·ln(m/V)). The
+    register sum Σ2^(-M_j) is a sum of exact powers of two with
+    exponent spread < 53 bits, hence an EXACT double regardless of
+    summation order — cross-engine reproducible; ln() differs at most
+    in the last ulp, invisible at the 6-dp rounding.
+
+    Returns (``key_col``, n_zero_registers, est_distinct).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    from kg_microbe_spark.operators.dedup import portable_hash60_col
+
+    m = 1 << p
+    width = 60 - p
+    alpha = hll_alpha(m)
+
+    # _w = h >> p via integer division (DIV here, // in the oracle) —
+    # the / operator would round-trip a 60-bit long through a double.
+    h = portable_hash60_col(F.col(value_col).cast("string"))
+    hv = df.select(
+        F.col(key_col).alias("_k"),
+        h.alias("_h"),
+    ).select(
+        "_k",
+        (F.col("_h") % F.lit(m)).alias("_j"),
+        F.expr(f"_h DIV {m}").alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(F.col("_w")))
+    )
+    regs = hv.groupBy("_k", "_j").agg(F.max(rho).cast("int").alias("_M"))
+    agg = regs.groupBy("_k").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # registers never hit by a value contribute 2^0 = 1 each
+    s_full = F.col("_s") + (F.lit(m) - F.col("_nz")).cast("double")
+    v_zero = (F.lit(m) - F.col("_nz")).cast("long")
+    e_raw = F.lit(alpha * m * m) / s_full
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("_k").alias(key_col),
+        v_zero.alias("n_zero_registers"),
+        F.round(est, 6).alias("est_distinct"),
+    )

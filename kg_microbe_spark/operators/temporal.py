@@ -742,3 +742,66 @@ def path_ngrams(
         .alias("_rk"),
     )
     return ranked.filter(F.col("_rk") <= top_k).select("path", "n_occurrences")
+
+
+def gapfill_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward fill — the resample step every monitoring/feature pipeline
+    runs before windowed math (downsample + gap-fill; the reference has
+    no time axis, this extends the temporal family asof_join opened).
+
+    Three stages, all JVM: (1) truncate ts to the grid and reduce each
+    (key, bucket) with a combinable MAX (any combinable agg works and
+    max needs no tie-break, unlike "last value in bucket" which would
+    hide a nondeterministic order dependence); (2) per key, explode
+    ``sequence(min_bucket, max_bucket)`` into the dense grid — row
+    amplification is bounded by span/unit per key, the explode runs
+    AFTER the aggregation so it amplifies one row per key, not raw
+    events; (3) one per-key window ordered by bucket carries
+    ``last(value, ignorenulls=True)`` into the gaps.
+
+    The window is the scale hot spot (per-key sort over grid rows); grid
+    rows per key = time span / unit, so size the unit to the span — a
+    year of hourly buckets is 8.8k rows per key, trivially sortable, and
+    a hub key costs the same because the grid, not the event count,
+    bounds the partition after stage 1.
+
+    Returns (key, bucket_ts, value, filled_value, is_gap).
+    """
+    grid_step = {"hour": "interval 1 hour", "day": "interval 1 day"}[unit]
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            bucket.alias("bucket_ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_k", "bucket_ts")
+        .agg(F.max("_v").alias("value"))
+    )
+    spans = per_bucket.groupBy("_k").agg(
+        F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")
+    )
+    grid = spans.select(
+        "_k",
+        F.explode(F.expr(f"sequence(_b0, _b1, {grid_step})")).alias("bucket_ts"),
+    )
+    filled = grid.join(per_bucket, ["_k", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("_k").alias(key_col),
+        "bucket_ts",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("value").isNull().alias("is_gap"),
+    )

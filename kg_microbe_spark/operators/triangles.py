@@ -185,3 +185,63 @@ def ktruss_prune(
             .localCheckpoint(eager=True)
         )
     return cur
+
+
+def butterfly_count(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Global butterfly (2×2-biclique) and caterpillar (wedge) counts for
+    a BIPARTITE graph — the bipartite analog of triangle_count, the
+    cohesion statistic for (doc, entity) / (user, item) co-occurrence
+    layers where triangles cannot exist by construction.
+
+    Exact-count identity: butterflies = Σ over left-vertex pairs of
+    C(codeg, 2); wedges from the right side = Σ_r C(deg(r), 2). The
+    codegree table comes from ONE self-equi-join of the distinct edge
+    list on the right vertex, oriented ``l1 < l2`` so each pair counts
+    once — candidate volume is Σ_r deg(r)², the bipartite
+    Schank-Wagner analog, so a hub RIGHT vertex is the quadratic hot
+    spot: ``max_right_degree`` drops rights above the cap first (the
+    pairwise_jaccard stop-item guard, similarity.py), turning the bound
+    into Σ min(deg, cap)² — at 100 TB you always cap (a stopword-like
+    entity on 10^9 docs is 10^18 pairs uncapped) and report the dropped
+    rights alongside.
+
+    Returns one row: (n_wedges, n_butterflies, n_rights_dropped).
+    """
+    e = edges.select(
+        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+    ).distinct()
+    rdeg = e.groupBy("_r").agg(F.count(F.lit(1)).alias("_d"))
+    if max_right_degree is not None:
+        keep = rdeg.filter(F.col("_d") <= max_right_degree)
+        dropped = rdeg.filter(F.col("_d") > max_right_degree).count()
+        e = e.join(F.broadcast(keep.select("_r")), "_r")
+        rdeg = keep
+    else:
+        dropped = 0
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "_r")
+        .filter(F.col("a._l") < F.col("b._l"))
+        .groupBy(F.col("a._l").alias("l1"), F.col("b._l").alias("l2"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # combine the two global scalars join-free: union one-row partials,
+    # then a keyless sum (a scalar crossJoin would plan CartesianProduct)
+    w_leg = rdeg.agg(
+        F.coalesce(F.sum(F.expr("_d * (_d - 1) DIV 2")), F.lit(0)).alias("w"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    b_leg = pairs.agg(
+        F.lit(0).cast("long").alias("w"),
+        F.coalesce(F.sum(F.expr("_c * (_c - 1) DIV 2")), F.lit(0)).alias("b"),
+    )
+    return w_leg.unionByName(b_leg).agg(
+        F.sum("w").alias("n_wedges"),
+        F.sum("b").alias("n_butterflies"),
+        F.max(F.lit(dropped).cast("long")).alias("n_rights_dropped"),
+    )
