@@ -10436,6 +10436,146 @@ def q_butterfly_bipartite(spark, sf_dir):
     return butterfly_count(ev, "l", "r")
 
 
+def q_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 query relevance — executes the SHIPPED ``bm25_scores``
+    (operators/tfidf.py: tf filtered to the query terms before any
+    df/score work, doc length via F.size with no second explode,
+    broadcast 1-row (N, avgdl) stats, RSJ idf). Query = three
+    mid-frequency corpus terms; oracle replays the formula with the
+    same literals. dl sums are integer-valued doubles so avgdl is
+    bit-exact across engines."""
+    from kg_microbe_spark.operators.tfidf import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text", ["hash", "merge", "vector"])
+
+
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+),
+t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM t2 GROUP BY doc_id),
+st AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM t2 WHERE token IN ('hash', 'merge', 'vector')
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(SUM(s), 6) AS bm25
+FROM bm GROUP BY doc_id
+"""
+
+
+def q_pareto_parts(spark, sf_dir):
+    """2-D Pareto frontier (skyline) — executes the SHIPPED
+    ``pareto_frontier_2d`` (operators/stats.py: combinable
+    groupBy(x).min(y) collapse, ONE |distinct-x|-bounded running-min
+    window, broadcast frontier join back). Cheapest-at-each-size part
+    tradeoff: minimize (p_size, p_retailprice)."""
+    from kg_microbe_spark.operators.stats import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part")
+    return pareto_frontier_2d(p, "p_size", "p_retailprice")
+
+
+_PARETO_SQL = """
+WITH g AS (
+  SELECT p_size AS x, MIN(p_retailprice) AS my FROM part GROUP BY p_size
+),
+f AS (
+  SELECT x, my,
+         MIN(my) OVER (ORDER BY x ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev
+  FROM g
+)
+SELECT p.* FROM part p
+JOIN f ON p.p_size = f.x AND p.p_retailprice = f.my
+WHERE f.prev IS NULL OR f.my < f.prev
+"""
+
+
+def q_touch_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution — executes the SHIPPED
+    ``touch_attribution`` (operators/temporal.py: journey id from ONE
+    per-user running count of prior conversions, journeys reduced by
+    combinable min/max over (ts, order, channel) structs, ties broken
+    on event_id). Conversion = purchase; the other four event types
+    are the touch channels."""
+    from kg_microbe_spark.operators.temporal import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(ev, "user_id", "ts", "event_type", "purchase", "event_id")
+
+
+_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS j
+  FROM events
+),
+conv AS (SELECT DISTINCT user_id, j FROM e WHERE c = 1),
+touches AS (
+  SELECT user_id, j, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, j
+                            ORDER BY ts ASC, event_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, j
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM e WHERE c = 0
+),
+credited AS (SELECT t.* FROM touches t JOIN conv USING (user_id, j))
+SELECT event_type AS channel, 'first_touch' AS model,
+       CAST(COUNT(*) AS BIGINT) AS conversions
+FROM credited WHERE rf = 1 GROUP BY event_type
+UNION ALL
+SELECT event_type AS channel, 'last_touch' AS model,
+       CAST(COUNT(*) AS BIGINT) AS conversions
+FROM credited WHERE rl = 1 GROUP BY event_type
+"""
+
+
+def q_greedy_set_cover(spark, sf_dir):
+    """Greedy maximum-coverage corpus selection — executes the SHIPPED
+    ``greedy_set_cover`` (operators/sampling.py: k rounds of
+    anti-join-vs-broadcast-covered + combinable gain counts + one-row
+    argmax collect). Inherently iterative (every pick reshapes later
+    marginal gains) → NO SQL oracle, rows-only driver check; the
+    brute-force greedy equivalence is pytest-pinned
+    (tests/test_r5_bm25_pareto_attribution_cover.py)."""
+    from kg_microbe_spark.operators.sampling import greedy_set_cover
+    from kg_microbe_spark.operators.repetition import _bigrams_col
+
+    # items = distinct BIGRAMS (31-word unigram vocab is coverable by one
+    # long doc; the ~500-bigram space forces a real greedy sequence)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            _bigrams_col(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            )
+        ).alias("item"),
+    )
+    rows = greedy_set_cover(d, "doc_id", "item", k=5)
+    return spark.createDataFrame(
+        rows, "rank int, doc_id string, marginal_gain long, covered_total long"
+    )
+
+
 _BUTTERFLY_SQL = """
 WITH e AS (
   SELECT DISTINCT 'u' || CAST(user_id % 30 AS VARCHAR) AS l, event_type AS r
@@ -10779,6 +10919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": q_maximal_independent_set,
         "gapfill_events": q_gapfill_events,
         "butterfly_bipartite": q_butterfly_bipartite,
+        "bm25_retrieval": q_bm25_retrieval,
+        "pareto_parts": q_pareto_parts,
+        "touch_attribution": q_touch_attribution,
+        "greedy_set_cover": q_greedy_set_cover,
     }
 
 
@@ -11003,4 +11147,8 @@ e AS (
         "maximal_independent_set": _MIS_SQL,
         "gapfill_events": _GAPFILL_SQL,
         "butterfly_bipartite": _BUTTERFLY_SQL,
+        "bm25_retrieval": _BM25_SQL,
+        "pareto_parts": _PARETO_SQL,
+        "touch_attribution": _ATTRIBUTION_SQL,
+        # greedy_set_cover: iterative argmax — rows-only by design
     }

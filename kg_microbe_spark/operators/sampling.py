@@ -285,3 +285,69 @@ def neighbor_fanout_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def greedy_set_cover(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    k: int,
+) -> "list":
+    """Greedy maximum-coverage document selection (the (1−1/e)-optimal
+    classic): k rounds, each picking the document whose item set adds
+    the most NOT-yet-covered items — the coverage-driven corpus
+    selection step of a training-data pipeline (pick k docs that span
+    the vocabulary / entity space), where proportional samplers
+    (mixture_sample, weighted_group_sample) can't see redundancy
+    between picks.
+
+    Each round is one distributed aggregation: anti-join the (id, item)
+    facts against the covered-item set (BROADCAST — bounded by the
+    total distinct-item vocabulary, the same budget every dictionary
+    broadcast in this repo documents), groupBy(id).count, take the
+    (count DESC, id ASC) argmax via orderBy().limit(1) — a ONE-ROW
+    driver collect per round, the same contract as graph_summary's
+    limit(1) scalars (stats.py). Ties break on id: deterministic.
+    Inherently iterative (each pick changes every later marginal gain),
+    so there is no SQL oracle — the driver entry is rows-only and the
+    brute-force equivalence lives in pytest.
+
+    Returns a list of Rows (rank, id, marginal_gain, covered_total),
+    rank 1-based, stopping early when no document adds coverage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    facts = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(item_col).cast("string").alias("_item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "_item string")
+    out = []
+    total = 0
+    for rank in range(1, k + 1):
+        gains = (
+            facts.join(F.broadcast(covered), "_item", "left_anti")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_gain"))
+            .orderBy(F.col("_gain").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not gains or gains[0]._gain == 0:
+            break
+        best = gains[0]
+        total += best._gain
+        out.append((rank, best._id, best._gain, total))
+        covered = (
+            covered.unionByName(
+                facts.filter(F.col("_id") == best._id).select("_item")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -502,3 +502,46 @@ def hll_distinct(
         v_zero.alias("n_zero_registers"),
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline: the rows minimizing (``x_col``, ``y_col``) under
+    Pareto dominance — row r is kept iff no other row is ≤ on both
+    dimensions and < on at least one (Börzsönyi et al. 2001). The
+    multi-objective "best tradeoff" query (cheapest-AND-smallest part,
+    fastest-AND-shortest route) that a plain ORDER BY cannot answer.
+
+    Spark-first shape — NOT the all-pairs dominance join: (1) a
+    combinable groupBy(x).min(y) collapses the fact table to one row
+    per distinct x; (2) ONE global window ordered by x computes the
+    running min of y over strictly-preceding x-groups — an x-group is
+    on the frontier iff its min-y beats that running min (a later x
+    can only stay by strictly improving y, and within an x-group only
+    min-y can survive); (3) an equi-join back tags the original rows.
+    The single-partition window is bounded by |distinct x|, NOT fact
+    rows — the standard skyline cardinality assumption; coarsen x
+    (e.g. price cents → price bands) when distinct-x itself is huge.
+
+    Returns the frontier rows of ``df`` (original columns), every tie
+    on an (x, y) frontier point included.
+    """
+    from pyspark.sql import Window as W
+
+    x = F.col(x_col)
+    g = df.groupBy(x.alias("_x")).agg(F.min(F.col(y_col)).alias("_my"))
+    w = W.orderBy(F.col("_x").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    frontier = (
+        g.withColumn("_prev", F.min("_my").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_my") < F.col("_prev")))
+        .select("_x", "_my")
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (x == F.col("_x")) & (F.col(y_col) == F.col("_my")),
+    ).drop("_x", "_my")

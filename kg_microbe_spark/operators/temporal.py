@@ -805,3 +805,77 @@ def gapfill_resample(
         F.last("value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("value").isNull().alias("is_gap"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    order_col: str,
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution — per user
+    journey (the rows since the previous conversion), credit the
+    journey's earliest and latest touchpoint channel for the
+    conversion that closes it. The marketing-analytics companion to
+    event_funnel/markov_transitions: those describe flows, this
+    assigns credit.
+
+    Shape: ONE per-key window ordered by (ts, ``order_col``) computes
+    the running count of PRIOR conversions — the journey id — so
+    journeys need no self-join; then one combinable
+    groupBy(key, journey) reduces each journey to
+    (min/max touch struct, converted?) via min/max of a
+    (ts, order, channel) struct over touch rows only (NULL for
+    conversion rows, and min/max skip NULLs); finally two combinable
+    channel counts. Ties on ts break on ``order_col`` — the output is
+    a total function of the input. Journeys without a conversion (the
+    tail after the last purchase) or without a touch (back-to-back
+    conversions) credit nothing.
+
+    Returns (channel, model, conversions) with model ∈
+    {'first_touch', 'last_touch'}.
+    """
+    w = (
+        Window.partitionBy(F.col(key_col))
+        .orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = F.col(type_col) == conversion_type
+    touch = F.when(
+        ~is_conv,
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(order_col).alias("o"),
+            F.col(type_col).alias("channel"),
+        ),
+    )
+    journeys = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            F.coalesce(
+                F.sum(is_conv.cast("long")).over(w), F.lit(0)
+            ).alias("_j"),
+            is_conv.cast("long").alias("_c"),
+            touch.alias("_t"),
+        )
+        .groupBy("_k", "_j")
+        .agg(
+            F.max("_c").alias("_converted"),
+            F.min("_t").alias("_first"),
+            F.max("_t").alias("_last"),
+        )
+        .filter((F.col("_converted") == 1) & F.col("_first").isNotNull())
+    )
+    first = journeys.groupBy(
+        F.col("_first.channel").alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions"))
+    last = journeys.groupBy(F.col("_last.channel").alias("channel")).agg(
+        F.count(F.lit(1)).alias("conversions")
+    )
+    return first.select(
+        "channel", F.lit("first_touch").alias("model"), "conversions"
+    ).unionByName(
+        last.select("channel", F.lit("last_touch").alias("model"), "conversions")
+    )

@@ -25,6 +25,8 @@ this is one of the text-analysis operators the task brief adds."""
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -235,3 +237,79 @@ def chi2_terms(
         a.alias("n_class_with"),
         F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("chi2"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    (Robertson et al., TREC-3) — the retrieval scorer a corpus-quality
+    pipeline uses to mine query-relevant training slices; complements
+    tfidf_top_terms (per-doc keywords) with a per-(doc, query) score.
+
+    Same three-shuffle dataflow as tfidf_top_terms, with the tf frame
+    FILTERED to the query terms before df/score work — the fact-table
+    pass never carries non-query tokens past its first groupBy. Doc
+    length and its global average come from a broadcast 1-row aggregate
+    over per-doc token counts (F.size on the token array: no second
+    explode). idf = ln(1 + (N - df + ½)/(df + ½)), the RSJ form that
+    stays positive for df ≤ N/2 and is monotone in df, Lucene's choice.
+
+    Returns (id, n_matched, bm25) for documents matching ≥ 1 query
+    term, bm25 rounded 6 dp.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    dl = tok.select("_id", F.size("_toks").cast("double").alias("_dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.avg("_dl").alias("_avgdl"), F.count("*").cast("double").alias("_n")
+        )
+    )
+    tf = (
+        tok.select("_id", F.explode("_toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("_id", "token")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "_id")
+        .crossJoin(stats)
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    return scored.groupBy("_id").agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum("_s"), 6).alias("bm25"),
+    ).select(F.col("_id").alias(id_col), "n_matched", "bm25")
