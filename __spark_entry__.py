@@ -10576,6 +10576,135 @@ def q_greedy_set_cover(spark, sf_dir):
     )
 
 
+def q_count_min_tokens(spark, sf_dir):
+    """Count-Min sketch point estimates — executes the SHIPPED
+    ``count_min_estimate`` (operators/heavyhitters.py: d in-row
+    posexploded portable hashes, ONE combinable d·w-bounded counter
+    groupBy, probe equi-join + min readout). Probes = the corpus's
+    distinct tokens; 4×256 cells over a 31-token vocab → estimates are
+    exact unless two tokens collide in all 4 rows, and the oracle
+    replays the identical hashes either way."""
+    from kg_microbe_spark.operators.heavyhitters import count_min_estimate
+    from kg_microbe_spark.functions.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    probes = tok.select("token").distinct()
+    return count_min_estimate(tok, "token", probes, width=256, depth=4)
+
+
+_CMS_SQL = """
+WITH tok AS (
+  SELECT t.token FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+    FROM documents
+  ) t WHERE t.token <> ''
+),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT j,
+         CAST(concat('0x', substr(md5('cm' || j || '|' || token), 1, 15))
+              AS BIGINT) % 256 AS bucket
+  FROM tok CROSS JOIN js
+),
+matrix AS (SELECT j, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT token FROM tok),
+pc AS (
+  SELECT token AS key, j,
+         CAST(concat('0x', substr(md5('cm' || j || '|' || token), 1, 15))
+              AS BIGINT) % 256 AS bucket
+  FROM probes CROSS JOIN js
+)
+SELECT key, MIN(COALESCE(c, 0)) AS est_count
+FROM pc LEFT JOIN matrix USING (j, bucket)
+GROUP BY key
+"""
+
+
+def q_band_join_balances(spark, sf_dir):
+    """Epsilon band join — executes the SHIPPED ``epsilon_band_join``
+    (operators/ranges.py: left computes its single floor(v/eps) bucket,
+    right replicates to bucket±1 — constant 3× amplification — then
+    bucket equi-join + exact |Δ| ≤ eps refine; the partitionable form
+    of a predicate Spark would otherwise nested-loop). Customer vs
+    supplier account balances integerized to cents, eps = $25.00."""
+    from kg_microbe_spark.operators.ranges import epsilon_band_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("c_bal_c")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", _cents(F.col("s_acctbal")).alias("s_bal_c")
+    )
+    return epsilon_band_join(c, s, "c_bal_c", "s_bal_c", 2500)
+
+
+_BAND_JOIN_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_bal_c
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_bal_c
+  FROM supplier
+)
+SELECT c.c_custkey, c.c_bal_c, s.s_suppkey, s.s_bal_c,
+       ABS(c.c_bal_c - s.s_bal_c) AS abs_diff
+FROM c JOIN s ON ABS(c.c_bal_c - s.s_bal_c) <= 2500
+"""
+
+
+def q_mad_outlier_orders(spark, sf_dir):
+    """MAD robust outlier flags — executes the SHIPPED ``mad_outliers``
+    (operators/stats.py: two exact-rank medians via per-key windows
+    with (value, id) total order, 0.6745·(x−med)/MAD z-scores,
+    MAD = 0 → NULL z / no flag). Per-customer order totals in cents;
+    the oracle replays the rank-ceil(n/2) median definition."""
+    from kg_microbe_spark.operators.stats import mad_outliers
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).cast("double").alias("price_c"),
+    )
+    return mad_outliers(o, "o_custkey", "o_orderkey", "price_c")
+
+
+_MAD_SQL = """
+WITH base AS (
+  SELECT o_custkey AS k, o_orderkey AS id,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM orders
+),
+r1 AS (
+  SELECT k, id, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rk,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM base
+),
+med AS (SELECT k, MIN(v) AS med FROM r1 WHERE rk = CEIL(n / 2.0) GROUP BY k),
+dev AS (
+  SELECT base.k, base.id, base.v, med.med, ABS(base.v - med.med) AS d
+  FROM base JOIN med USING (k)
+),
+r2 AS (
+  SELECT k, id, d,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, id) AS rk,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM dev
+),
+mad AS (SELECT k, MIN(d) AS mad FROM r2 WHERE rk = CEIL(n / 2.0) GROUP BY k)
+SELECT dev.k AS o_custkey, dev.id AS o_orderkey, dev.v AS price_c,
+       CASE WHEN mad.mad > 0
+            THEN ROUND(0.6745 * (dev.v - dev.med) / mad.mad, 6) END AS robust_z,
+       COALESCE(ABS(CASE WHEN mad.mad > 0
+                         THEN ROUND(0.6745 * (dev.v - dev.med) / mad.mad, 6)
+                    END) > 3.5,
+                FALSE) AS is_outlier
+FROM dev JOIN mad USING (k)
+"""
+
+
 _BUTTERFLY_SQL = """
 WITH e AS (
   SELECT DISTINCT 'u' || CAST(user_id % 30 AS VARCHAR) AS l, event_type AS r
@@ -10923,6 +11052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "touch_attribution": q_touch_attribution,
         "greedy_set_cover": q_greedy_set_cover,
+        "count_min_tokens": q_count_min_tokens,
+        "band_join_balances": q_band_join_balances,
+        "mad_outlier_orders": q_mad_outlier_orders,
     }
 
 
@@ -11151,4 +11283,7 @@ e AS (
         "pareto_parts": _PARETO_SQL,
         "touch_attribution": _ATTRIBUTION_SQL,
         # greedy_set_cover: iterative argmax — rows-only by design
+        "count_min_tokens": _CMS_SQL,
+        "band_join_balances": _BAND_JOIN_SQL,
+        "mad_outlier_orders": _MAD_SQL,
     }

@@ -256,3 +256,62 @@ def zipf_slope(
             "intercept"
         ),
     )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    value_col: str,
+    probes: DataFrame,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch build + point estimates (Cormode & Muthukrishnan
+    2005) — the bounded-memory OTHER half of the heavy-hitter toolkit:
+    frequent_tokens prunes then recounts exactly; a CM sketch gives an
+    O(d·w)-space always-overestimate for ANY key, mergeable across
+    partitions/days by cell-wise addition, at the cost of +εn one-sided
+    error (ε = e/w, δ = e^-d).
+
+    Spark-first: the d hash rows live IN-ROW as a posexploded
+    d-literal array of portable md5-60-bit hashes (dedup.py) — no
+    d-fold scan; the counter matrix is ONE combinable
+    groupBy(row, bucket).count bounded by d·w cells regardless of
+    stream size; estimates come from an equi-join of the probe keys'
+    (row, bucket) pairs against the matrix and a groupBy(key).min —
+    probe keys missing entirely still report their collision floor,
+    exactly as a real CM readout does. Everything is exact integer
+    arithmetic → a SQL oracle replays the sketch bit-for-bit.
+
+    Returns (key, est_count) — est ≥ true count, always.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width ≥ 2 and depth ≥ 1, got {width}×{depth}")
+    from kg_microbe_spark.operators.dedup import portable_hash60_col
+
+    def cells(col):
+        return F.posexplode(
+            F.array(
+                *[
+                    portable_hash60_col(
+                        F.concat(F.lit(f"cm{j}|"), F.col(col).cast("string"))
+                    )
+                    % F.lit(width)
+                    for j in range(depth)
+                ]
+            )
+        )
+
+    matrix = (
+        df.select(cells(value_col).alias("_row", "_bucket"))
+        .groupBy("_row", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    probe_cells = probes.select(
+        F.col(probes.columns[0]).alias("key"),
+        cells(probes.columns[0]).alias("_row", "_bucket"),
+    )
+    return (
+        probe_cells.join(matrix, ["_row", "_bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("_c", F.lit(0))).alias("est_count"))
+    )

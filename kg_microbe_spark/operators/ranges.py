@@ -96,3 +96,59 @@ def interval_join(
         (F.col("_lo") <= F.col(point_col)) & (F.col(point_col) < F.col("_hi"))
     )
     return joined.drop("_bucket", "_lo", "_hi")
+
+
+def epsilon_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps,
+) -> DataFrame:
+    """Band (epsilon) join: all (L, R) pairs with |L.v − R.v| ≤ eps —
+    the numeric-proximity join (near-identical prices, timestamps
+    within tolerance, sensor readings off by jitter) that a raw
+    ``abs(a-b) <= eps`` predicate plans as a nested loop.
+
+    Same bucket-decomposition idea as interval_join, specialized to the
+    symmetric band: the LEFT side computes its single bucket
+    floor(v/eps); the RIGHT side replicates to its bucket ± 1 (a 3-row
+    in-row explode, constant amplification); a pair within eps can
+    never be further than one bucket apart, so the bucket equi-join is
+    a superset and the exact |Δ| ≤ eps refine keeps precision. Shuffle
+    is |L| + 3|R| hash-partitioned rows, AQE-skew-splittable; the
+    nested-loop form cannot partition at all.
+
+    Integer-valued inputs make the bucketing exactly reproducible in a
+    SQL oracle; for float values at bucket boundaries the refine
+    predicate — not the bucket arithmetic — decides membership, so
+    results are still exact (a 0.5-ulp division error can only send a
+    TRUE pair 2 buckets apart when v/eps sits within an ulp of an
+    integer — integerize eps-quantized floats first, as the entry
+    fixture does with cents).
+
+    Returns left columns (prefixed ``l_``-as-given) joined to right
+    columns plus ``abs_diff``.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(eps)).alias("_bk")
+    l2 = left.select(F.struct(*left.columns).alias("_l"), lb)
+    r2 = right.select(
+        F.struct(*right.columns).alias("_r"),
+        F.explode(
+            F.array(
+                F.floor(F.col(right_val) / F.lit(eps)) - 1,
+                F.floor(F.col(right_val) / F.lit(eps)),
+                F.floor(F.col(right_val) / F.lit(eps)) + 1,
+            )
+        ).alias("_bk"),
+    )
+    joined = l2.join(r2, "_bk").filter(
+        F.abs(F.col("_l." + left_val) - F.col("_r." + right_val)) <= F.lit(eps)
+    )
+    return joined.select(
+        "_l.*",
+        "_r.*",
+        F.abs(F.col("_l." + left_val) - F.col("_r." + right_val)).alias(
+            "abs_diff"
+        ),
+    )

@@ -545,3 +545,78 @@ def pareto_frontier_2d(
         F.broadcast(frontier),
         (x == F.col("_x")) & (F.col(y_col) == F.col("_my")),
     ).drop("_x", "_my")
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outlier flags via the median-absolute-deviation
+    z-score |0.6745·(x − med)/MAD| > threshold (Iglewicz & Hoaglin
+    1993) — the outlier gate that, unlike burst_zscores' mean/std, a
+    single wild value cannot drag: breakdown point 50%.
+
+    Both medians use the house exact-rank definition (value at rank
+    ceil(n/2) in sort order — group_quantiles' inverted CDF, a value
+    that EXISTS in the data, deterministic under ties), so a SQL oracle
+    replays them with ROW_NUMBER. Shape: two per-key rank windows (one
+    over values, one over |deviation|) + two combinable groupBy-min
+    extractions joined back — per-key sorts, no self-joins; same scale
+    contract as group_quantiles (keys are dimension-like; for global
+    robust stats use the histogram CDF).
+
+    Ties inside the rank windows break on ``id_col`` — harmless to the
+    selected value (tied rows carry equal values) but it makes the
+    whole plan a total function of the input. MAD = 0 (a majority-
+    constant key) yields robust_z NULL and is_outlier false for the
+    constant rows — documented, matches the scipy convention of
+    refusing the division rather than inventing infinities.
+
+    Returns (key, id, value, robust_z rounded 6 dp, is_outlier).
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(id_col).alias("_id"), v.alias("_v")
+    )
+    w1 = W.partitionBy("_k").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    ranked = base.withColumn("_rk", F.row_number().over(w1)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("_k"))
+    )
+    med = (
+        ranked.filter(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .groupBy("_k")
+        .agg(F.min("_v").alias("_med"))
+    )
+    dev = base.join(med, "_k").withColumn("_d", F.abs(F.col("_v") - F.col("_med")))
+    w2 = W.partitionBy("_k").orderBy(F.col("_d").asc(), F.col("_id").asc())
+    devr = dev.withColumn("_rk", F.row_number().over(w2)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("_k"))
+    )
+    mad = (
+        devr.filter(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .groupBy("_k")
+        .agg(F.min("_d").alias("_mad"))
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad"), 6
+        ),
+    )
+    return (
+        dev.join(mad, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(value_col),
+            z.alias("robust_z"),
+            F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )
