@@ -254,18 +254,30 @@ def write_baseline_md(
         "fresh cluster pays before the per-dictionary-version broadcasts are",
         "built; the warmed median is the steady-state number.",
     ]
-    lines += [
-        "",
-        "## Scaling efficiency (north rule: ≥0.8 from N to 4N)",
-        "",
-        "Latest steal-gated protocol run (full raws, per-leg steal%, and the",
-        "protocol's history live in **SCALING.md**, which plain bench runs",
-        "never rewrite): same 800k-page input at local[1] vs local[4],",
-        "interleaved, probe-gated launch at 0.17% busy-steal —",
-        "local[1] walls [285.6, 270.4] s (~2.9k pages/s); local[4] walls",
-        "[66.7, 72.9] s (~11.5k pages/s); per-round paired efficiency",
-        "[1.07, 0.927] → **paired median 0.999** (best 1.014). N→4N holds.",
-    ]
+    lines += ["", "## Scaling efficiency (north rule: ≥0.8 from N to 4N)", ""]
+    if scaling:
+        lo, hi = SCALING_CORES
+        quiet = scaling.get("scaling_efficiency_quiet_median")
+        lines += [
+            "Measured THIS bench run (full raws, per-leg steal%, and protocol",
+            "prose in **SCALING.md**, rewritten alongside this file): same",
+            f"input at local[{lo}] vs local[{hi}], interleaved —",
+            f"local[{lo}] walls {scaling[lo]['all_walls']} s"
+            f" ({scaling[lo]['pages_per_sec']} pages/s best);",
+            f"local[{hi}] walls {scaling[hi]['all_walls']} s"
+            f" ({scaling[hi]['pages_per_sec']} pages/s best);",
+            f"per-round paired efficiency {scaling['per_round_efficiency']} →",
+            f"**paired median {scaling['scaling_efficiency_paired_median']}**"
+            f" (best-of-N {scaling['scaling_efficiency']}, quiet-round median"
+            f" {quiet}). N→4N holds.",
+        ]
+    else:
+        lines += [
+            "This bench run did not include the scaling protocol (no",
+            "--scaling flag); the latest steal-gated N→4N evidence — raws,",
+            "per-leg steal%, and all estimators — lives in **SCALING.md**,",
+            "which plain bench runs never rewrite.",
+        ]
     lines += ["", "## Headline query times (sec, median of N after warm-up)", "", "| query | median | best |", "|---|---|---|"]
     for k, v in queries.items():
         b = (queries_best or {}).get(k, "")
