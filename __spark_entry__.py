@@ -10654,6 +10654,64 @@ FROM c JOIN s ON ABS(c.c_bal_c - s.s_bal_c) <= 2500
 """
 
 
+def q_url_language_pairs(spark, sf_dir):
+    """Cross-lingual URL alignment — executes the SHIPPED
+    ``url_language_pairs`` (operators/alignment.py: parse_url HOST +
+    anchored lang-segment strip → ONE groupBy(align_key) with in-row
+    bounded pair generation + template-hub guard; the CCAligned bitext
+    candidate pass). Fixture builds ``https://site{g%7}.example/{lang}/
+    page/{g}`` URLs (g = doc_id div 5, so every page-template group holds
+    5 language variants at any SF) plus a ``hub.example/home`` template
+    hit by every 25th doc — at sf0.01 that key collects 20 docs and the
+    max_variants=6 guard drops it, which the oracle replays with a count
+    window. The oracle reconstructs the stripped key arithmetically,
+    so the comparison validates the Spark-side parse_url/regex keying."""
+    from kg_microbe_spark.operators.alignment import url_language_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    g = F.floor(i / 5).cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.when(
+        i % 25 == 0,
+        F.concat(F.lit("https://hub.example/"), F.col("lang"), F.lit("/home")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            s(g % 7),
+            F.lit(".example/"),
+            F.col("lang"),
+            F.lit("/page/"),
+            s(g),
+        )
+    )
+    docs = d.select("doc_id", "lang", url.alias("url"))
+    return url_language_pairs(docs, max_variants=6)
+
+
+_URL_LANG_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 25 = 0 THEN 'hub.example/home'
+              ELSE 'site' || ((doc_id // 5) % 7) || '.example/page/' || (doc_id // 5)
+         END AS align_key,
+         CASE WHEN doc_id % 25 = 0
+              THEN 'https://hub.example/' || lang || '/home'
+              ELSE 'https://site' || ((doc_id // 5) % 7) || '.example/' || lang
+                   || '/page/' || (doc_id // 5)
+         END AS url
+  FROM documents
+),
+k AS (SELECT *, COUNT(*) OVER (PARTITION BY align_key) AS n FROM d)
+SELECT a.align_key AS align_key,
+       a.doc_id AS doc_id_a, a.lang AS lang_a, a.url AS url_a,
+       b.doc_id AS doc_id_b, b.lang AS lang_b, b.url AS url_b
+FROM k a JOIN k b
+  ON a.align_key = b.align_key AND a.doc_id < b.doc_id AND a.lang <> b.lang
+WHERE a.n <= 6 AND b.n <= 6
+"""
+
+
 def q_mad_outlier_orders(spark, sf_dir):
     """MAD robust outlier flags — executes the SHIPPED ``mad_outliers``
     (operators/stats.py: two exact-rank medians via per-key windows
@@ -11063,6 +11121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_tokens": q_count_min_tokens,
         "band_join_balances": q_band_join_balances,
         "mad_outlier_orders": q_mad_outlier_orders,
+        "url_language_pairs": q_url_language_pairs,
     }
 
 
@@ -11294,4 +11353,5 @@ e AS (
         "count_min_tokens": _CMS_SQL,
         "band_join_balances": _BAND_JOIN_SQL,
         "mad_outlier_orders": _MAD_SQL,
+        "url_language_pairs": _URL_LANG_PAIRS_SQL,
     }

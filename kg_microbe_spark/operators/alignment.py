@@ -158,3 +158,73 @@ def reciprocal_best_match(
             F.col("_sc").alias(score_col),
         )
     )
+
+
+def url_language_pairs(
+    docs: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    max_variants: int = 8,
+) -> DataFrame:
+    """Cross-lingual document alignment by URL structure (the CCAligned
+    first pass, El-Kishky et al. 2020): two pages whose URLs are identical
+    except for one language path segment (``/en/`` vs ``/fr/`` …) are
+    translations of the same template slot — the standard web-scale bitext
+    candidate generator, and the webtext analog of the reference's
+    cross-source xref alignment (uniprot/mediadive share entities under
+    per-source id schemes the same way translated pages share a template).
+
+    100-TB shape:
+
+    * the alignment key — host + path with the FIRST language segment
+      stripped — is a pure-JVM whole-stage-codegen projection
+      (``parse_url`` + one anchored regex, RE2-portable, no lookbehind);
+    * ONE shuffle: groupBy(align_key) with in-row pair generation
+      (the kg_triples pattern) — never a self-join that would shuffle the
+      corpus twice;
+    * TEMPLATE-HUB GUARD: keys collecting more than ``max_variants`` docs
+      are calendar/pagination artifacts, not language variants (a real
+      template has at most #languages-served versions); they are dropped
+      BEFORE pair generation, bounding per-key work at
+      C(max_variants, 2) and per-group state at ``max_variants`` structs.
+
+    Emits one row per unordered pair (id_a < id_b) with differing
+    ``lang_col``; same-language collisions under one key (mirrors,
+    tracking variants) are excluded — those belong to url-dedup, not
+    alignment.
+    """
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    stripped = F.regexp_replace(path, r"^/[a-z]{2}(-[a-zA-Z]{2})?/", "/")
+    key = F.concat(F.parse_url(F.col(url_col), F.lit("HOST")), stripped)
+    keyed = docs.select(
+        key.alias("align_key"),
+        F.struct(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            F.col(url_col).alias("url"),
+        ).alias("_d"),
+    )
+    grouped = (
+        keyed.groupBy("align_key")
+        .agg(F.collect_list("_d").alias("_docs"))
+        .filter(F.size("_docs") <= max_variants)
+    )
+    pairs = grouped.select(
+        "align_key",
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(_docs, a -> transform(_docs, b -> struct(a as a, b as b)))), "
+                "p -> p.a.doc_id < p.b.doc_id AND p.a.lang != p.b.lang)"
+            )
+        ).alias("_p"),
+    )
+    return pairs.select(
+        "align_key",
+        F.col("_p.a.doc_id").alias("doc_id_a"),
+        F.col("_p.a.lang").alias("lang_a"),
+        F.col("_p.a.url").alias("url_a"),
+        F.col("_p.b.doc_id").alias("doc_id_b"),
+        F.col("_p.b.lang").alias("lang_b"),
+        F.col("_p.b.url").alias("url_b"),
+    )
