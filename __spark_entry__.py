@@ -10654,6 +10654,45 @@ FROM c JOIN s ON ABS(c.c_bal_c - s.s_bal_c) <= 2500
 """
 
 
+def q_zorder_orders(spark, sf_dir):
+    """Z-order layout keys — executes the SHIPPED ``zorder_key_col``
+    (operators/zorder.py: Morton bit-interleave as one flat codegen
+    expression of literal shifts; the write-time multi-dimensional
+    clustering key behind OPTIMIZE ZORDER-style layout). Two quantized
+    dimensions (customer mod 1024, order-date day-number mod 1024,
+    10 bits each → 20-bit key); the oracle replays the interleave from
+    the INDEPENDENT unrolled-SQL generator ``zorder_sql`` so the Column
+    and SQL renderings of the spec check each other bit-for-bit."""
+    from kg_microbe_spark.operators.zorder import zorder_key_col
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).cast("long").alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 1024)
+        .cast("long")
+        .alias("y"),
+    )
+    return q.select(
+        "o_orderkey", "x", "y", zorder_key_col(["x", "y"], bits=10).alias("zkey")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from kg_microbe_spark.operators.zorder import zorder_sql
+
+    return f"""
+WITH q AS (
+  SELECT o_orderkey,
+         o_custkey % 1024 AS x,
+         date_diff('day', DATE '1992-01-01', o_orderdate) % 1024 AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y, ({zorder_sql(["x", "y"], bits=10)}) AS zkey
+FROM q
+"""
+
+
 def q_luhn_card_scan(spark, sf_dir):
     """Checksum-validated card detection — executes the SHIPPED
     ``card_candidates`` (operators/redaction.py: regexp_extract_all
@@ -11192,6 +11231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_orders": q_mad_outlier_orders,
         "url_language_pairs": q_url_language_pairs,
         "luhn_card_scan": q_luhn_card_scan,
+        "zorder_orders": q_zorder_orders,
     }
 
 
@@ -11425,4 +11465,5 @@ e AS (
         "mad_outlier_orders": _MAD_SQL,
         "url_language_pairs": _URL_LANG_PAIRS_SQL,
         "luhn_card_scan": _LUHN_CARD_SQL,
+        "zorder_orders": _zorder_oracle_sql(),
     }
