@@ -10654,6 +10654,55 @@ FROM c JOIN s ON ABS(c.c_bal_c - s.s_bal_c) <= 2500
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning — executes the SHIPPED
+    ``compaction_plan`` (operators/compaction.py: next-fit-decreasing bin
+    packing as running-sum window arithmetic, integer group assignment,
+    peer-frame group totals on the same partition key — ONE logical
+    shuffle however many files a hot partition holds). Orders stand in
+    for files (size = total price in cents, table partition = order
+    priority, 64 MB target); the oracle replays the running sum + integer
+    division + RANGE CURRENT ROW peer totals."""
+    from kg_microbe_spark.operators.compaction import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    files = o.select(
+        F.col("o_orderpriority").alias("part"),
+        F.col("o_orderkey").alias("file_id"),
+        _cents(F.col("o_totalprice")).alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=64 * 1024 * 1024)
+
+
+_COMPACTION_SQL = """
+WITH f AS (
+  SELECT o_orderpriority AS part, o_orderkey AS file_id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS size_bytes
+  FROM orders
+),
+c AS (
+  SELECT part, file_id, size_bytes,
+         SUM(size_bytes) OVER (
+           PARTITION BY part ORDER BY size_bytes DESC, file_id
+           ROWS UNBOUNDED PRECEDING) AS csum
+  FROM f
+),
+g AS (
+  SELECT part, file_id, size_bytes,
+         ((csum - 1) // 67108864) + 1 AS compaction_group
+  FROM c
+)
+SELECT part, file_id, size_bytes, compaction_group,
+       SUM(size_bytes) OVER (
+         PARTITION BY part ORDER BY compaction_group
+         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS group_bytes,
+       COUNT(*) OVER (
+         PARTITION BY part ORDER BY compaction_group
+         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS n_files
+FROM g
+"""
+
+
 def q_zorder_orders(spark, sf_dir):
     """Z-order layout keys — executes the SHIPPED ``zorder_key_col``
     (operators/zorder.py: Morton bit-interleave as one flat codegen
@@ -11232,6 +11281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_language_pairs": q_url_language_pairs,
         "luhn_card_scan": q_luhn_card_scan,
         "zorder_orders": q_zorder_orders,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -11466,4 +11516,5 @@ e AS (
         "url_language_pairs": _URL_LANG_PAIRS_SQL,
         "luhn_card_scan": _LUHN_CARD_SQL,
         "zorder_orders": _zorder_oracle_sql(),
+        "compaction_plan": _COMPACTION_SQL,
     }
