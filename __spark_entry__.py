@@ -45,6 +45,29 @@ def _cents(col) -> F.Column:
     return F.round(col * 100).cast("long")
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition by deterministic key columns before expensive
+    per-row compute (optimization r06, guide §2.5 'input skew').
+
+    The driver testdata ships each table as ONE parquet file with very few
+    row groups (documents/embeddings/events: 1; orders: 2; lineitem: 6),
+    and a row group is the atomic parquet split unit — no
+    maxPartitionBytes/minPartitionNum setting can raise the scan's
+    parallelism past the row-group count. Queries whose cost is per-row
+    expression work (regex parse, tokenization, md5, dot products)
+    therefore ran on 1-6 cores of the 32 available. One cheap exchange of
+    the pruned scan output (keyed on a deterministic unique id — never
+    rand(); see SPARK-38388) moves the compute to full parallelism.
+
+    Scale-adaptive: the partition count comes from
+    spark.sql.shuffle.partitions and AQE coalescing, not a constant; on a
+    production table with healthy row-group counts the same exchange costs
+    one pass over already-pruned columns and remains correct (results are
+    partitioning-independent), and callers there would simply drop it —
+    each call site below is a query-shape decision, not engine config."""
+    return df.repartition(*[F.col(c) for c in key_cols])
+
+
 def _local_result(df: DataFrame) -> DataFrame:
     """Materialize a round-trip entry's FIXTURE-SIZED result as a
     LocalRelation so its backing temp files can be deleted before the
@@ -94,10 +117,20 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented knob if a pathological page appears.
     """
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    words = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
-    ).filter((F.col("word") != "") & ~F.col("word").isin(list(KG_STOPWORDS)))
-    per_doc = words.groupBy("doc_id", "source").agg(F.collect_set("word").alias("ws"))
+    # Optimization r06: the per-doc distinct word set is a pure function of
+    # the row, so the explode → groupBy(doc_id) → collect_set round trip
+    # (one full shuffle of every word) is replaced by an in-row
+    # array_distinct over the split — identical sets (collect_set over
+    # exploded words ≡ array_distinct of the filtered split), one shuffle
+    # (the final triple groupBy) instead of two. _spread parallelizes the
+    # split/cross work past the 1-row-group scan (guide §2.4).
+    stop = list(KG_STOPWORDS)
+    words_arr = F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: (w != "") & ~w.isin(stop))
+    )
+    per_doc = _spread(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "doc_id", "source", words_arr.alias("ws")
+    )
     # Deterministic per-doc cap BEFORE the crosses (sort so which mentions
     # survive is stable and oracle-mirrorable), bounding the worst-row
     # fan-out — see MENTION_CAP.
@@ -196,12 +229,22 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_shipping_priority(spark, sf_dir):
+    """Optimization r06 (plans/r06/shipping_priority_*.txt): the planner's
+    column-pruned size estimate put LINEITEM under the broadcast threshold
+    and built a 6M-row broadcast hash relation single-threaded every run
+    (plan: BroadcastExchange over the lineitem scan). Deliberate strategy
+    instead (guide §3.1): broadcast the true dimension (customer), join
+    orders⋈lineitem as a shuffled-hash join (build = the smaller c⋈o
+    side), and let the groupBy reuse the join's hash(o_orderkey)
+    partitioning — one exchange per fact side, no exchange for the
+    aggregate, no fact broadcast. Same inner-join conjunction, same
+    aggregate → identical rows (oracle-verified)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    co = o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
     j = (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        li.join(co.hint("shuffle_hash"), o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
     )
@@ -226,12 +269,19 @@ def q_region_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # Optimization r06 (plans/r06/region_revenue_*.txt): the old left-deep
+    # order streamed REGION (5 rows) and broadcast everything else —
+    # including a 6M-row LINEITEM broadcast (column-pruned estimate under
+    # the threshold). Rewritten fact-centric (guide §3.1): lineitem
+    # streams, orders joins as a shuffled-hash join, the true dimensions
+    # (customer/nation/region/supplier) broadcast explicitly. Same
+    # inner-join conjunction → identical rows (oracle-verified).
     j = (
-        r.join(n, r["r_regionkey"] == n["n_regionkey"])
-        .join(c, n["n_nationkey"] == c["c_nationkey"])
-        .join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        li.join(o.hint("shuffle_hash"), o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
     )
     return j.groupBy("r_name").agg(
         F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
@@ -678,12 +728,36 @@ FROM documents GROUP BY 1
 """
 
 
+def _minhash_col() -> F.Column:
+    """Single-perm MinHash as an in-row expression: min(md5(w)) over the
+    non-empty whitespace tokens, NULL when a doc has none. Equals the
+    explode → groupBy(doc_id) → MIN(md5(w)) form row-for-row (min over a
+    multiset ignores duplicates; docs with no tokens produce no group
+    there and are filtered on NULL here) with ZERO shuffles — optimization
+    r06, guide §2.4 'remove shuffles outright'."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    return F.array_min(F.transform(toks, F.md5))
+
+
 def q_minhash_signature(spark, sf_dir):
     """Single-permutation MinHash per doc over distinct words (md5-based so
     it is portable across engines)."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).filter(F.col("w") != "")
-    return words.groupBy("doc_id").agg(F.min(F.md5(F.col("w"))).alias("minhash"))
+    # The row filter is on token PRESENCE, not on minhash IS NOT NULL:
+    # the two are equivalent (md5 of a non-null token is never null, so
+    # the min is null iff there are no tokens), but a minhash filter
+    # forces the md5 pass even when the projection itself is pruned
+    # (e.g. under the bench's count()), and it gets pushed below the
+    # exchange onto the single-task scan — measured 0.7 s → 1.8 s.
+    # No _spread here: the filter is pushed to the scan anyway, and with
+    # the zero-shuffle in-row form the exchange would be pure overhead
+    # (measured 0.75 s with vs 0.70 s without, same session).
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    return (
+        d.select("doc_id", "text")
+        .filter(F.size(toks) > 0)
+        .select("doc_id", _minhash_col().alias("minhash"))
+    )
 
 
 _MINHASH_SQL = """
@@ -701,10 +775,27 @@ def q_ngram_jaccard_docs(spark, sf_dir):
     guarded union==0 form), so entry and operator cannot drift."""
     from kg_microbe_spark.operators.dedup import ngram_jaccard_pairs
 
+    # Optimization r06 (plans/r06/ngram_jaccard_docs_*.txt). Three fixes:
+    # (1) the blocking key is now the in-row _minhash_col() — the old
+    #     explode→groupBy→join-back computed the word explosion TWICE (once
+    #     per self-join side) and shuffled it; results identical (see
+    #     _minhash_col).
+    # (2) _spread parallelizes shingle/md5 work past the 1-row-group scan.
+    # (3) salt: minhash buckets are near-duplicate clusters, and one hub
+    #     cluster funneled ~800M join-output pair rows through a single
+    #     task (33 s of the 33.6 s wall). Salting sub-buckets the fan-out
+    #     across the cluster (see ngram_jaccard_pairs); pair set unchanged.
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).filter(F.col("w") != "")
-    mh = words.groupBy("doc_id").agg(F.min(F.md5("w")).alias("mh"))
-    pairs = ngram_jaccard_pairs(d.join(mh, "doc_id"), "doc_id", "text", shingle_n=3, bucket_col="mh")
+    # No explicit not-null filter on mh: docs without tokens carry a NULL
+    # bucket and an inner equi-join never matches NULL keys, so they drop
+    # out of the pair join exactly as the old inner join-back did — and an
+    # explicit filter was measured to be PUSHED below the exchange,
+    # re-evaluating the md5 min on the single-task scan.
+    base = _spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "text", _minhash_col().alias("mh")
+    )
+    salt = spark.sparkContext.defaultParallelism * 4
+    pairs = ngram_jaccard_pairs(base, "doc_id", "text", shingle_n=3, bucket_col="mh", salt=salt)
     return pairs.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -789,10 +880,16 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    from kg_microbe_spark.functions.text import predict_lang_col
+    # Optimization r06 (plans/r06/lang_id_*.txt): the inline classifier
+    # re-split the text ~36×/row inside one projection (HOFs have no
+    # codegen CSE) AND ran on a single core (1-row-group scan). The staged
+    # form tokenizes once; _spread parallelizes the token passes. Same
+    # scores/argmax → identical rows (oracle-verified).
+    from kg_microbe_spark.functions.text import predict_lang_staged
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("lang", predict_lang_col(F.col("text")).alias("predicted")).groupBy(
+    base = _spread(d.select("doc_id", "lang", "text"), "doc_id")
+    return predict_lang_staged(base, "text", "predicted", keep_cols=("lang",)).groupBy(
         "lang", "predicted"
     ).agg(F.count("*").alias("n"))
 
@@ -874,11 +971,14 @@ FROM documents
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 3 vectors (ranking on rounded
     cosine so float/double differences across engines cannot flip ranks)."""
+    # Optimization r06: the corpus is _spread past its 1-row-group scan so
+    # the 3×20k cosine evaluations run at full parallelism (the unrolled
+    # fixed-dim dot was tried and reverted — see similarity.py note).
     from kg_microbe_spark.operators.similarity import cosine_col
 
     emb = _t(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    c = emb.select(F.col("vec_id").alias("doc_id"), dv.alias("dv"))
+    c = _spread(emb, "vec_id").select(F.col("vec_id").alias("doc_id"), dv.alias("dv"))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), dv.alias("qv"))
     )
@@ -989,10 +1089,16 @@ def q_two_hop_composition(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # Optimization r06: orders.parquet has 2 row groups → the old plan ran
+    # the expand(×3)+partial-agg for the two COUNT DISTINCTs on ≤3 tasks.
+    # Spread orders by the join key first, keep the dimensions broadcast —
+    # the count-distinct expand then runs at full parallelism. Same
+    # inner-join conjunction → identical rows (oracle-verified).
     j = (
-        r.join(n, r["r_regionkey"] == n["n_regionkey"])
-        .join(c, n["n_nationkey"] == c["c_nationkey"])
-        .join(o, c["c_custkey"] == o["o_custkey"])
+        _spread(o, "o_custkey")
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
     )
     return j.groupBy("r_name").agg(
         F.count_distinct("o_orderkey").alias("n_orders"),
@@ -1197,7 +1303,13 @@ def q_binned_traits(spark, sf_dir):
         )
         .otherwise(F.concat((whole % 90).cast("string"), F.lit("."), (whole % 10).cast("string"), F.lit(" C")))
     )
-    df = e.select(trait.alias("trait"))
+    # Optimization r06: events.parquet is a single row group → the regex
+    # parse (5 regexp_extracts/row over 1M rows) ran on ONE core. Spread
+    # the pruned scan output first so trait construction + parsing run at
+    # full parallelism; rows/values are unchanged.
+    df = _spread(e.select("event_id", "event_type", "value"), "event_id").select(
+        trait.alias("trait")
+    )
     parsed = df.select(
         "trait",
         parse_range_midpoint_col(F.col("trait")).alias("value"),
@@ -1300,7 +1412,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6, round_dp=4)
+    # _spread: signature computation for the 20k-vector corpus otherwise
+    # runs on the single task its 1-row-group scan allows (r06).
+    return lsh_topk(_spread(emb, "vec_id"), queries, dim=64, k=5, n_planes=6, round_dp=4)
 
 
 def _ann_lsh_sql() -> str:

@@ -64,6 +64,41 @@ def predict_lang_col(text: Column) -> Column:
     return expr
 
 
+def predict_lang_staged(df, text_col: str = "text", out_col: str = "predicted", keep_cols=()):
+    """Same classifier as :func:`predict_lang_col`, factored into three
+    projections so tokenization runs ONCE per row (optimization r06,
+    guide §4.1/§2.3 'project early').
+
+    The inline Column form re-evaluates ``split(lower(text))`` at every
+    reference site — ~6 languages × 6 comparison sites ≈ 36 splits per row
+    in the physical plan (verified in plans/r06/lang_id_before.txt) —
+    because higher-order functions are interpreted expressions with no
+    codegen common-subexpression elimination. Staged projections survive
+    CollapseProject (the rule refuses to inline non-cheap expressions that
+    are referenced more than once), so the plan keeps: tokenize → one
+    stopword-count pass per language → cheap argmax over the counts.
+
+    Output rows are identical to ``predict_lang_col`` (same scores, same
+    ``und`` rule, same sorted-language tie-break)."""
+    langs = sorted(LANG_STOPWORDS)
+    keep = list(keep_cols)
+    toked = df.select(*keep, tokens_col(F.col(text_col)).alias("_toks"))
+    scored = toked.select(
+        *keep,
+        *[
+            F.size(
+                F.filter(F.col("_toks"), (lambda stops: (lambda t: t.isin(stops)))(LANG_STOPWORDS[la]))
+            ).alias(f"_s_{la}")
+            for la in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"_s_{la}") for la in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for la in langs:
+        expr = expr.when(F.col(f"_s_{la}") == best, F.lit(la))
+    return scored.select(*keep, expr.alias(out_col))
+
+
 def punct_ratio_col(text: Column) -> Column:
     n_punct = F.length(F.regexp_replace(text, r"(?U)[\w\s]", ""))
     return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")

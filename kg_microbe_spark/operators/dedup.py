@@ -279,15 +279,61 @@ def simhash_col(shingles: Column, bits: int = 32, portable: bool = False) -> Col
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 2, portable: bool = False
 ) -> DataFrame:
-    return df.select(
+    """Optimization r06: staged — shingle hashes are computed ONCE into an
+    intermediate projection, then the per-bit sign sums run over the
+    precomputed hash array. The single-Column form (simhash_col over
+    shingles) inlined the full split→shingle→hash pipeline into every one
+    of the ``bits`` aggregates (32× the hashing work, and an expression
+    tree so large that plan analysis alone cost ~0.5 s per run).
+    CollapseProject keeps the stages separate because ``_hs`` is
+    referenced ``bits`` times. Values identical (same per-bit aggregate
+    over the same hashes — see test_operators.py)."""
+    hash_fn = portable_hash60_col if portable else F.xxhash64
+    if portable:
+        assert bits <= 60, "portable hash provides 60 usable bits"
+    staged = df.select(
         F.col(id_col).alias("doc"),
-        simhash_col(shingles_col(F.col(text_col), shingle_n), bits, portable=portable).alias("simhash"),
+        F.transform(shingles_col(F.col(text_col), shingle_n), hash_fn).alias("_hs"),
     )
 
+    def _merge_for(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, bucket_col: Optional[str] = None) -> DataFrame:
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(F.col("_hs"), F.lit(0), _merge_for(b))
+        sim = sim.bitwiseOR(
+            F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return staged.select("doc", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    bucket_col: Optional[str] = None,
+    salt: Optional[int] = None,
+) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs. Without ``bucket_col`` it
-    is all-pairs (test scale only); production path feeds LSH candidates."""
+    is all-pairs (test scale only); production path feeds LSH candidates.
+
+    ``salt`` (optimization r06, guide §2.5 'split hot keys'): a bucket
+    holding B docs emits B² pair rows through ONE join key — AQE skew
+    handling cannot split a single key, so a hub bucket (every large
+    near-duplicate cluster is one) serializes the fan-out onto one core (measured:
+    ~800M pair rows on one task at sf1.0 = 33 s). With ``salt=k`` the left
+    side carries a deterministic sub-bucket ``pmod(xxhash64(doc), k)`` and
+    the right side is exploded k ways, so the join key becomes
+    (bucket, sub) and the fan-out of every bucket spreads over k
+    partitions. Each ordered pair still matches exactly once (the right
+    clone whose sub equals the left row's), and the ``doc_a < doc_b``
+    filter keeps exactly the same unordered pairs — results are identical
+    (property-tested in tests/test_operators.py). Cost: the right side's
+    rows are replicated k×; callers pick k ≈ cluster parallelism."""
     base = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
@@ -295,10 +341,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, shingle_n: in
     )
     a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "bucket")
     b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "bucket")
+    join_keys = ["bucket"]
+    if salt is not None and salt > 1:
+        a = a.withColumn("_sub", F.pmod(F.xxhash64(F.col("doc_a")), F.lit(salt)).cast("int"))
+        b = b.withColumn("_sub", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        join_keys = ["bucket", "_sub"]
+        # Force a shuffled-hash join building the UN-replicated side: the
+        # planner's size estimate does not scale through the explode, so
+        # it otherwise broadcasts the k×-replicated side (measured: a
+        # 3.2M-row single-threaded broadcast build that made the salted
+        # form SLOWER than the skewed join it replaces).
+        a = a.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        a.join(b, "bucket")
+        a.join(b, join_keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",

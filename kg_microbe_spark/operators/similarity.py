@@ -28,6 +28,15 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+# Optimization r06 note (measured, then reverted): unrolling the dot
+# products to fixed-dim element_at arithmetic (64 terms × 6 planes) was
+# tried and made lsh_topk SLOWER (2.2 s → 5.5 s at sf1.0): the generated
+# projection is enormous, so Janino compilation dominates at this row
+# count, while the interpreted HOF aggregate is adequate for 20k rows.
+# The HOF forms stay; at truly large row counts revisit with a measured
+# compile-vs-run tradeoff.
+
+
 def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 

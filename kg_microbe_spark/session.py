@@ -49,6 +49,23 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:MaxDirectMemorySize=24g"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Guide §3.1/§9: allow shuffled-hash join when its size conditions
+        # fit instead of always sort-merge — the engine's joins are
+        # equi-joins whose build sides are bounded (dimension frames or
+        # post-shuffle partitions), and SHJ skips both sorts. Production
+        # keeps the same setting; the per-partition build-side OOM risk is
+        # bounded by AQE partition sizing. Env-overridable for A/B.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # Let AQE rewrite a planned sort-merge join to shuffled-hash when
+        # every post-shuffle partition is under this bound (default 0 =
+        # off upstream; 64 MB matches the broadcast budget above).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", str(64 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
