@@ -161,15 +161,26 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     )
+    # r06: group on the raw words and prefix AFTER the aggregate — the
+    # 'W:' concat is injective, so the groups are identical, and the
+    # concat runs once per result row instead of twice per exploded pair
+    # (~2×10⁸ string builds saved at sf1.0).
     return (
         pairs.select(
-            F.concat(F.lit("W:"), F.col("p.sw")).alias("subject"),
+            F.col("p.sw").alias("sw"),
             F.col("p.predicate").alias("predicate"),
-            F.concat(F.lit("W:"), F.col("p.ow")).alias("object"),
+            F.col("p.ow").alias("ow"),
             "source",
         )
-        .groupBy("subject", "predicate", "object")
+        .groupBy("sw", "predicate", "ow")
         .agg(F.count("*").alias("n_docs"), F.min("source").alias("provenance"))
+        .select(
+            F.concat(F.lit("W:"), F.col("sw")).alias("subject"),
+            "predicate",
+            F.concat(F.lit("W:"), F.col("ow")).alias("object"),
+            "n_docs",
+            "provenance",
+        )
     )
 
 

@@ -293,7 +293,7 @@ def simhash_table(
         assert bits <= 60, "portable hash provides 60 usable bits"
     staged = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(shingles_col(F.col(text_col), shingle_n), hash_fn).alias("_hs"),
+        F.transform(shingles_col(F.col(text_col), shingle_n), lambda s: hash_fn(s)).alias("_hs"),
     )
 
     def _merge_for(bit: int):

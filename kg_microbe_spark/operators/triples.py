@@ -67,9 +67,10 @@ def site_channel_col(url):
     )
 
 
-def generate_pairs(entities: DataFrame) -> DataFrame:
-    """entities(url, curie, label, category, n_mentions) → all ordered pairs
-    of distinct entities per url, with P4 outcome."""
+def generate_pairs_join(entities: DataFrame) -> DataFrame:
+    """The original self-join pair generator — kept as the reference
+    implementation for the generate_pairs equivalence property test
+    (r06); production uses the single-shuffle aggregation form below."""
     left = entities.select(
         "url",
         F.col("curie").alias("subject"),
@@ -85,6 +86,55 @@ def generate_pairs(entities: DataFrame) -> DataFrame:
         F.col("n_mentions").alias("object_mentions"),
     )
     pairs = left.join(right, "url").filter(F.col("subject") != F.col("object"))
+    return pairs.withColumn(
+        "outcome", classify_pair_col(F.col("subject_category"), F.col("object_category"))
+    )
+
+
+def generate_pairs(entities: DataFrame) -> DataFrame:
+    """entities(url, curie, label, category, n_mentions) → all ordered pairs
+    of distinct entities per url, with P4 outcome.
+
+    Optimization r06: one groupBy(url) + in-row double loop instead of the
+    url self-join (kept above as ``generate_pairs_join`` for the
+    property test) — the join shuffled the entities table TWICE (both
+    exchange legs); the aggregation form shuffles it once and generates
+    the identical ordered-pair multiset (duplicate-curie rows included;
+    subject ≠ object is the same predicate, applied in-row). The per-url
+    fan-out bound is unchanged — (k²−k) over linked entities per page,
+    bounded by page length — and the collected list per url is exactly
+    the entity set the join's per-key hash group held, so the memory
+    bound is unchanged too (tested equal in tests/test_operators.py)."""
+    ent = F.struct(
+        F.col("curie").alias("curie"),
+        F.col("label").alias("label"),
+        F.col("category").alias("category"),
+        F.col("n_mentions").alias("n_mentions"),
+    )
+    per_url = entities.groupBy("url").agg(F.collect_list(ent).alias("_es"))
+
+    def _pair(a, b):
+        return F.struct(
+            a["curie"].alias("subject"),
+            a["label"].alias("subject_label"),
+            a["category"].alias("subject_category"),
+            a["n_mentions"].alias("subject_mentions"),
+            b["curie"].alias("object"),
+            b["label"].alias("object_label"),
+            b["category"].alias("object_category"),
+            b["n_mentions"].alias("object_mentions"),
+        )
+
+    es = F.col("_es")
+    pairs_arr = F.flatten(
+        F.transform(
+            es,
+            lambda a: F.transform(
+                F.filter(es, lambda b: b["curie"] != a["curie"]), lambda b: _pair(a, b)
+            ),
+        )
+    )
+    pairs = per_url.select("url", F.explode(pairs_arr).alias("_p")).select("url", "_p.*")
     return pairs.withColumn(
         "outcome", classify_pair_col(F.col("subject_category"), F.col("object_category"))
     )

@@ -78,6 +78,76 @@ def test_ngram_jaccard(docs):
     assert pairs[(0, 3)] == 0.0
 
 
+def test_ngram_jaccard_salted_equals_unsalted(docs):
+    """r06 skew-salting property: the sub-bucketed equi-join must produce
+    the exact pair multiset of the plain bucket join (same docs, same
+    jaccard values), for several salt factors."""
+    with_bucket = docs.withColumn("b", F.length(F.col("text")) % 2)
+    base = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(with_bucket, "doc_id", "text", bucket_col="b").collect()
+    )
+    for salt in (2, 7, 64):
+        salted = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                with_bucket, "doc_id", "text", bucket_col="b", salt=salt
+            ).collect()
+        )
+        assert salted == base
+
+
+def test_generate_pairs_aggregation_equals_join(spark):
+    """r06: the single-shuffle in-row pair generator must emit the exact
+    ordered-pair multiset of the original self-join form — including
+    duplicate-curie rows and the subject≠object exclusion."""
+    from kg_microbe_spark.operators.triples import generate_pairs, generate_pairs_join
+
+    rows = [
+        ("u1", "X:1", "a", "biolink:OrganismTaxon", 2),
+        ("u1", "X:2", "b", "biolink:ChemicalEntity", 1),
+        ("u1", "X:3", "c", "biolink:EnvironmentalFeature", 4),
+        ("u1", "X:1", "a2", "biolink:OrganismTaxon", 9),  # duplicate curie
+        ("u2", "X:9", "z", "biolink:ChemicalEntity", 1),  # singleton url
+        ("u3", "X:1", "a", "biolink:OrganismTaxon", 1),
+        ("u3", "X:1", "a", "biolink:OrganismTaxon", 1),   # only same-curie → no pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, curie string, label string, category string, n_mentions long"
+    )
+    got = sorted(map(tuple, generate_pairs(df).collect()))
+    want = sorted(map(tuple, generate_pairs_join(df).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_predict_lang_staged_equals_inline(spark):
+    """r06: the staged language classifier must agree row-for-row with the
+    inline Column form on ties, zero-score ('und') and null/empty text."""
+    from kg_microbe_spark.functions import text as T
+
+    rows = [
+        ("the cat and the dog is here",),
+        ("der hund und die katze ist",),
+        ("le chat est dans la maison",),
+        ("el perro es de los gatos",),
+        ("o gato é de uma casa não",),
+        ("xyzzy qwerty plugh",),        # no stopwords → und
+        ("de la",),                     # tie across several langs
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string").withColumn("i", F.monotonically_increasing_id())
+    inline = [
+        (r.i, r.p)
+        for r in df.select("i", T.predict_lang_col(F.col("text")).alias("p")).collect()
+    ]
+    staged = [
+        (r.i, r.predicted)
+        for r in T.predict_lang_staged(df, "text", keep_cols=("i",)).collect()
+    ]
+    assert sorted(staged) == sorted(inline)
+
+
 def test_simhash_near_dup_close(docs):
     t = {r.doc: r.simhash for r in dedup.simhash_table(docs, "doc_id", "text").collect()}
     assert t[0] == t[1] == t[4]
