@@ -11074,11 +11074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked entries, preferring ones without an in-window twin. Positions
     # 51+ are either multi-round driver-green or oracle-verified locally at
     # sf0.01+sf0.001 this round (scripts/verify_entry.py runs ALL entries,
-    # not just 50); SURVEY ops stay driver-covered by in-window twins: W5
-    # cumulative sum via histogram_cutoff, W3 top-k via topk_per_priority,
-    # A3 via salted_group_collect (same oracle as group_collect), P7 via
-    # histogram_cutoff, exact-ANN via ann_cosine_topk, J1/J4/J5/A5 via
-    # mention_scan / two_hop_composition / graph_stats.
+    # not just 50). Comment corrected r6 (VERDICT r5 nit #3): W5/W3/P7
+    # twins (histogram_cutoff, topk_per_priority) are PRIOR-ROUND
+    # driver-green, not in this window; in-window SURVEY twins are A3 via
+    # salted_skew_join/synonym_enrichment (salted_collect_set), W1/A2 via
+    # upsert_latest and scd2_user_state (window/max_by forms), A8/J1 via
+    # the roundtrip + sampling entries' broadcast joins, exact-ANN via
+    # ann_ivf_topk/embedding_near_dup.
     return {
         # Seven never-checked training-pipeline entries promoted into the
         # slots freed by displacing r3/r4-green rows (see tail comments):

@@ -48,7 +48,15 @@ def compaction_plan(
     """Assign every file a ``compaction_group`` within its table
     partition plus the group's ``group_bytes`` / ``n_files`` totals;
     downstream, one merge task per (partition, group) rewrites the
-    group's files into ~``target_bytes`` outputs."""
+    group's files into ~``target_bytes`` outputs.
+
+    Overshoot note (ADVICE r5): grouping is by running-sum position, not
+    true next-fit — a file straddling a ``target_bytes`` boundary joins
+    the group its cumulative sum ends in, so ``group_bytes`` may exceed
+    ``target_bytes`` by up to one file (and by arbitrarily much for a
+    single file larger than the target, which is correct: an oversized
+    file cannot be split by planning). Callers that need a hard output
+    ceiling should post-split oversized groups at rewrite time."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     parts = [F.col(c) for c in part_cols]

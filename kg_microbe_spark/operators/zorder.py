@@ -60,6 +60,13 @@ def zorder_sql(cols: Sequence[str], bits: int = 16) -> str:
     portable to engines without higher-order functions), for oracles and
     for pushing the layout key into external writers."""
     n = len(cols)
+    # Mirror zorder_key_col's guards (ADVICE r5): without them, e.g.
+    # 4 cols × 16 bits silently generates a '<< 63' term that overflows
+    # into the signed BIGINT sign bit.
+    if n < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed BIGINT")
     terms = []
     for j, c in enumerate(cols):
         slot = n - 1 - j

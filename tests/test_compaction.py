@@ -36,9 +36,11 @@ def test_oversized_file_spans_groups_alone(spark):
     # the next file starts csum 280 -> group 3 as well only if it fits the
     # tail — next-fit semantics: group = ((csum-1) div target) + 1.
     got = _plan(spark, [("p", 1, 250), ("p", 2, 30)], target=100)
-    assert got[1] == (3, 280, 2) or got[1][0] == 3
-    # both land in group 3 here: csum 250 and 280 share ((csum-1) div 100)+1 == 3
-    assert got[2][0] == 3
+    # exact tuples (ADVICE r5: the or-fallback made the strict half
+    # vacuous): csum 250 and 280 share ((csum-1) div 100)+1 == 3, so both
+    # files form one 280-byte 2-file group.
+    assert got[1] == (3, 280, 2)
+    assert got[2] == (3, 280, 2)
 
 
 def test_partitions_plan_independently(spark):
