@@ -324,16 +324,26 @@ def ngram_jaccard_pairs(
     ``salt`` (optimization r06, guide §2.5 'split hot keys'): a bucket
     holding B docs emits B² pair rows through ONE join key — AQE skew
     handling cannot split a single key, so a hub bucket (every large
-    near-duplicate cluster is one) serializes the fan-out onto one core (measured:
-    ~800M pair rows on one task at sf1.0 = 33 s). With ``salt=k`` the left
-    side carries a deterministic sub-bucket ``pmod(xxhash64(doc), k)`` and
-    the right side is exploded k ways, so the join key becomes
-    (bucket, sub) and the fan-out of every bucket spreads over k
-    partitions. Each ordered pair still matches exactly once (the right
-    clone whose sub equals the left row's), and the ``doc_a < doc_b``
-    filter keeps exactly the same unordered pairs — results are identical
-    (property-tested in tests/test_operators.py). Cost: the right side's
-    rows are replicated k×; callers pick k ≈ cluster parallelism."""
+    near-duplicate cluster is one) serializes the fan-out onto one core
+    (measured: ~780M surviving pairs through one task at sf1.0 = 33 s).
+    With ``salt=k`` both sides carry the deterministic sub-bucket
+    ``g(doc) = pmod(xxhash64(doc), k)`` and the join key becomes
+    (bucket, sub), spreading every bucket's fan-out over k partitions.
+
+    The decomposition is TRIANGULAR so each unordered pair is generated
+    once instead of twice-then-halved: the right side is cloned only to
+    subs ``g(doc_b)..k-1`` and joined against left rows with
+    ``g(doc_a) == sub``, which matches {x, y} exactly once when their
+    sub-buckets differ (in the orientation with the larger left sub);
+    the equal-sub diagonal produces both orientations and keeps the
+    lexicographic one. Output ids are re-normalized with
+    least/greatest — the original emits every pair as (min, max) too
+    (its doc_a < doc_b filter), and jaccard is symmetric in the two
+    shingle sets, so the result multiset is IDENTICAL (property-tested
+    against the unsalted join in tests/test_operators.py). Costs:
+    right-side rows are replicated (k+1)/2× on average; join emissions
+    equal the surviving pair count instead of 2×. Callers pick
+    k ≈ a few × cluster parallelism."""
     base = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
@@ -341,27 +351,37 @@ def ngram_jaccard_pairs(
     )
     a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "bucket")
     b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "bucket")
-    join_keys = ["bucket"]
-    if salt is not None and salt > 1:
-        a = a.withColumn("_sub", F.pmod(F.xxhash64(F.col("doc_a")), F.lit(salt)).cast("int"))
-        b = b.withColumn("_sub", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        join_keys = ["bucket", "_sub"]
-        # Force a shuffled-hash join building the UN-replicated side: the
-        # planner's size estimate does not scale through the explode, so
-        # it otherwise broadcasts the k×-replicated side (measured: a
-        # 3.2M-row single-threaded broadcast build that made the salted
-        # form SLOWER than the skewed join it replaces).
-        a = a.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        a.join(b, join_keys)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
+    jac = (inter.cast("double") / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard")
+    if salt is not None and salt > 1:
+        ga = F.pmod(F.xxhash64(F.col("doc_a")), F.lit(salt)).cast("int")
+        gb = F.pmod(F.xxhash64(F.col("doc_b")), F.lit(salt)).cast("int")
+        a = a.withColumn("_sub", ga)
+        b = b.withColumn("_gb", gb).withColumn(
+            "_sub", F.explode(F.sequence(F.col("_gb"), F.lit(salt - 1)))
         )
+        # Force a shuffled-hash join building the UN-replicated side: the
+        # planner's size estimate does not scale through the explode, so
+        # it otherwise broadcasts the replicated side (measured: a
+        # single-threaded multi-M-row broadcast build that made the
+        # salted form SLOWER than the skewed join it replaces).
+        pairs = a.hint("shuffle_hash").join(b, ["bucket", "_sub"])
+        # off-diagonal cells (_sub > _gb) already hold each pair once;
+        # the diagonal (_sub == _gb) holds both orientations — keep one.
+        pairs = pairs.filter(
+            (F.col("_sub") > F.col("_gb"))
+            | ((F.col("_sub") == F.col("_gb")) & (F.col("doc_a") < F.col("doc_b")))
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        return pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            jac,
+        )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac)
     )
 
 
